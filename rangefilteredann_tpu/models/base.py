@@ -1,0 +1,131 @@
+"""Shared host-side machinery for the index classes.
+
+The reference parallelizes per query with fork-join tasks
+(ref: src/prefiltering.h:132, src/range_filter_tree.h:70). The TPU design
+instead *batches*: the host groups queries into compile-friendly classes
+(power-of-two padded window widths / batch sizes), launches one jitted kernel
+per class, and scatters results back. Keeping the set of distinct shapes tiny
+bounds XLA recompilation across a full benchmark sweep.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.bruteforce import scan_bruteforce, windowed_bruteforce
+from ..ops.topk import EMPTY_ID as _EMPTY_ID
+from ..utils.data import METRIC_L2
+
+EMPTY_ID = int(_EMPTY_ID)
+
+# Queries whose window exceeds this use the full-array matmul scan instead of
+# a per-query gather (the scan is pure MXU throughput; the gather is HBM-bound).
+WINDOW_GATHER_MAX = 4096
+MIN_CLASS = 64  # smallest padded window / batch size
+# Cap on gathered bytes per windowed_bruteforce launch (fp32), to bound HBM use.
+GATHER_BYTES_BUDGET = 1 << 30
+
+
+def next_pow2(x: int) -> int:
+    return 1 << max(0, int(np.ceil(np.log2(max(1, x)))))
+
+
+def pow2_classes(widths: np.ndarray, lo: int = MIN_CLASS, hi: int | None = None):
+    """Assign each width to the smallest power-of-two class >= width (>= lo)."""
+    cls = np.maximum(lo, 1 << np.ceil(np.log2(np.maximum(widths, 1))).astype(np.int64))
+    if hi is not None:
+        cls = np.minimum(cls, hi)
+    return cls
+
+
+def batched_range_bruteforce(
+    data,  # [n, d_pad] jnp
+    norms_sq,  # [n] jnp
+    queries_padded: np.ndarray,  # [Q, d_pad] f32 host
+    starts: np.ndarray,  # [Q] int64 host
+    ends: np.ndarray,  # [Q] int64 host
+    k: int,
+    metric: str,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact k-NN within per-query sorted-index windows.
+
+    Returns (dists [Q, k] f32 shifted-L2, ids [Q, k] int64 sorted-order ids).
+    Empty slots: id EMPTY_ID, dist +inf.
+    """
+    nq = len(starts)
+    d_pad = queries_padded.shape[1]
+    widths = np.maximum(ends - starts, 0)
+    out_d = np.full((nq, k), np.inf, dtype=np.float32)
+    out_i = np.full((nq, k), EMPTY_ID, dtype=np.int64)
+
+    small = widths <= WINDOW_GATHER_MAX
+    # --- small windows: per-query gather, grouped by pow2 window class ---
+    if small.any():
+        idx_small = np.nonzero(small)[0]
+        classes = pow2_classes(widths[idx_small])
+        for w in np.unique(classes):
+            sel = idx_small[classes == w]
+            qpad = next_pow2(len(sel))
+            # Respect the gather budget by chunking the query batch.
+            max_q = max(64, int(GATHER_BYTES_BUDGET // (int(w) * d_pad * 4)))
+            max_q = next_pow2(max_q) // 2 if next_pow2(max_q) > max_q else max_q
+            for lo in range(0, len(sel), max_q):
+                chunk = sel[lo : lo + max_q]
+                qp = min(qpad, next_pow2(max(len(chunk), MIN_CLASS)))
+                qs = np.zeros((qp, d_pad), dtype=np.float32)
+                ss = np.zeros((qp,), dtype=np.int32)
+                ee = np.zeros((qp,), dtype=np.int32)
+                qs[: len(chunk)] = queries_padded[chunk]
+                ss[: len(chunk)] = starts[chunk]
+                ee[: len(chunk)] = ends[chunk]
+                d, i = windowed_bruteforce(
+                    data, norms_sq, jnp.asarray(qs), jnp.asarray(ss), jnp.asarray(ee),
+                    window=int(w), k=k, metric=metric,
+                )
+                out_d[chunk] = np.asarray(d)[: len(chunk)]
+                out_i[chunk] = np.asarray(i)[: len(chunk)]
+    # --- large windows: tiled full scan ---
+    if (~small).any():
+        sel = np.nonzero(~small)[0]
+        qpad = next_pow2(max(len(sel), MIN_CLASS))
+        qs = np.zeros((qpad, d_pad), dtype=np.float32)
+        ss = np.zeros((qpad,), dtype=np.int32)
+        ee = np.zeros((qpad,), dtype=np.int32)
+        qs[: len(sel)] = queries_padded[sel]
+        ss[: len(sel)] = starts[sel]
+        ee[: len(sel)] = ends[sel]
+        d, i = scan_bruteforce(
+            data, norms_sq, jnp.asarray(qs), jnp.asarray(ss), jnp.asarray(ee),
+            k=k, metric=metric,
+        )
+        out_d[sel] = np.asarray(d)[: len(sel)]
+        out_i[sel] = np.asarray(i)[: len(sel)]
+    return out_d, out_i
+
+
+def finalize_output(
+    dists: np.ndarray,  # [Q, k] shifted-L2 / mips dists, +inf = empty
+    ids_sorted: np.ndarray,  # [Q, k] sorted-order ids, EMPTY_ID = empty
+    decoding: np.ndarray | None,  # sorted id -> original id (None = identity)
+    q_norms: np.ndarray,  # [Q] squared query norms (for L2 un-shifting)
+    metric: str,
+    pad_id: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode sorted ids to original ids and restore true distances.
+
+    Empty slots become (pad_id, FLT_MAX) matching the reference's padding
+    (ref: src/range_filter_tree.h:84-93 pads id=0; postfilter_vamana.h:207-215
+    pads id=-1 as unsigned).
+    """
+    empty = ~np.isfinite(dists)
+    safe = np.where(ids_sorted == EMPTY_ID, 0, ids_sorted)
+    orig = decoding[safe] if decoding is not None else safe
+    out_ids = np.where(empty, np.int64(pad_id) & 0xFFFFFFFF, orig).astype(np.uint32)
+    out_d = dists.astype(np.float32)
+    if metric == METRIC_L2:
+        out_d = out_d + q_norms[:, None].astype(np.float32)
+    out_d = np.where(empty, np.finfo(np.float32).max, out_d).astype(np.float32)
+    return out_ids, out_d

@@ -1,0 +1,108 @@
+"""Distance computation blocks.
+
+TPU-native replacement for the reference's SIMD distance functors
+(ref: ParlayANN/algorithms/utils/euclidian_point.h:67-112,
+ mips_point.h:68-113, NSGDist.h). All distances are formulated as matmuls so
+they run on the MXU:
+
+  L2^2(q, x) = ||x||^2 - 2 q.x  (+ ||q||^2, a per-query constant dropped
+               everywhere, exactly as ordering-only distances allow)
+  MIPS(q, x) = -q.x             (negated inner product, ref: mips_point.h:82)
+
+`is_metric` gating: cut-pruning in beam search only applies to L2
+(ref: mips_point.h:72 -> beamSearch.h:162).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.data import METRIC_L2, METRIC_MIPS
+
+# Matmul precision for float32 distance blocks. TPU (and some CPU backends)
+# default fp32 matmuls to bf16 passes, which costs ~1e-1 absolute error on
+# O(10) distances — enough to reorder true neighbors. HIGHEST keeps fp32
+# ordering exact; for speed-over-exactness runs, store points as bfloat16
+# (make_pointset(compute_dtype=jnp.bfloat16)) instead of degrading fp32.
+MATMUL_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def is_metric(metric: str) -> bool:
+    return metric == METRIC_L2
+
+
+def query_block_distances(
+    queries: jax.Array,  # [Q, d_pad] f32
+    block: jax.Array,  # [T, d_pad] points tile
+    block_norms: jax.Array,  # [T] f32
+    metric: str,
+) -> jax.Array:
+    """All-pairs distances between a query block and a point tile: [Q, T].
+
+    One big MXU matmul — the workhorse of brute-force / prefilter scans.
+    """
+    ip = jnp.dot(
+        queries, block.T.astype(queries.dtype), preferred_element_type=jnp.float32,
+        precision=MATMUL_PRECISION,
+    )
+    if metric == METRIC_L2:
+        return block_norms[None, :] - 2.0 * ip
+    elif metric == METRIC_MIPS:
+        return -ip
+    raise ValueError(metric)
+
+
+def gathered_distances(
+    queries: jax.Array,  # [Q, d_pad]
+    gathered: jax.Array,  # [Q, C, d_pad] per-query candidate vectors
+    gathered_norms: jax.Array,  # [Q, C]
+    metric: str,
+) -> jax.Array:
+    """Per-query distances to per-query gathered candidates: [Q, C].
+
+    A batched matvec (batch dim Q, contraction d). Bandwidth-bound by the
+    gather; the contraction itself rides the MXU via dot_general.
+    """
+    ip = jax.lax.dot_general(
+        gathered,
+        queries[..., None].astype(gathered.dtype),  # [Q, d, 1]
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=MATMUL_PRECISION,
+    )[..., 0]
+    if metric == METRIC_L2:
+        return gathered_norms - 2.0 * ip
+    elif metric == METRIC_MIPS:
+        return -ip
+    raise ValueError(metric)
+
+
+def gather_and_distance(
+    data: jax.Array,  # [n, d_pad] point store
+    norms_sq: jax.Array,  # [n]
+    ids: jax.Array,  # [...] int32 global point ids (clipped by caller)
+    queries: jax.Array,  # [Q, d_pad] where ids.shape[0] == Q
+    metric: str,
+) -> jax.Array:
+    """Gather rows `ids` per query and return distances, shape == ids.shape."""
+    safe = jnp.clip(ids, 0, data.shape[0] - 1)
+    vecs = data[safe]  # [Q, C, d_pad]
+    nrm = norms_sq[safe]
+    return gathered_distances(queries, vecs, nrm, metric)
+
+
+@functools.partial(jax.jit, static_argnames=("metric",))
+def pairwise_distances(
+    a: jax.Array, a_norms: jax.Array, b: jax.Array, b_norms: jax.Array, metric: str
+) -> jax.Array:
+    """[A, B] all-pairs distances between two padded point blocks."""
+    ip = jnp.dot(a, b.T.astype(a.dtype), preferred_element_type=jnp.float32,
+                 precision=MATMUL_PRECISION)
+    if metric == METRIC_L2:
+        return a_norms[:, None] + b_norms[None, :] - 2.0 * ip
+    elif metric == METRIC_MIPS:
+        return -ip
+    raise ValueError(metric)

@@ -1,0 +1,163 @@
+"""Point storage for TPU window search.
+
+TPU-native replacement for the reference's PointRange / SubsetPointRange
+(ref: ParlayANN/algorithms/utils/point_range.h:50,136) and the label-sorting
+ingest path (ref: src/tree_utils.h:40-98).
+
+Design: instead of 64-byte-aligned pointer views over malloc'd memory, points
+live in one padded `[n, d_pad]` device array in HBM (d padded to a multiple of
+128 so distance matmuls tile cleanly onto the MXU). Squared norms are
+precomputed for the `||q - x||^2 = ||x||^2 - 2 q.x (+ const)` L2 formulation.
+Subsets are *integer windows / index arrays* into this single array — tree
+buckets are contiguous slices because points are stored label-sorted.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LANE = 128  # TPU lane width; last dim padded to a multiple of this.
+
+# metric names follow the reference's strings ("Euclidian" misspelling kept
+# at the API layer; internally we use canonical short names).
+METRIC_L2 = "l2"
+METRIC_MIPS = "mips"
+_METRIC_ALIASES = {
+    "euclidian": METRIC_L2,
+    "euclidean": METRIC_L2,
+    "l2": METRIC_L2,
+    "mips": METRIC_MIPS,
+    "ip": METRIC_MIPS,
+    "angular": METRIC_MIPS,  # angular data is pre-normalized and searched with MIPS
+}
+
+
+def canonical_metric(metric: str) -> str:
+    m = _METRIC_ALIASES.get(metric.lower())
+    if m is None:
+        raise ValueError(f"Unknown metric {metric!r}; expected one of {sorted(_METRIC_ALIASES)}")
+    return m
+
+
+def pad_dim(d: int, lane: int = LANE) -> int:
+    return ((d + lane - 1) // lane) * lane
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PointSet:
+    """A padded, device-resident point store.
+
+    Attributes:
+      data: [n, d_pad] float32 (or bfloat16) point matrix. Rows beyond `d` are
+        zero so dot products over the padded dim are exact.
+      norms_sq: [n] float32 squared L2 norms (only needed for the L2 metric,
+        but cheap enough to always carry).
+      n: number of points (static).
+      d: true dimensionality (static).
+      metric: "l2" or "mips" (static).
+    """
+
+    data: jax.Array
+    norms_sq: jax.Array
+    n: int
+    d: int
+    metric: str
+
+    # --- pytree plumbing (n/d/metric are static aux data) ---
+    def tree_flatten(self):
+        return (self.data, self.norms_sq), (self.n, self.d, self.metric)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        data, norms_sq = children
+        n, d, metric = aux
+        return cls(data=data, norms_sq=norms_sq, n=n, d=d, metric=metric)
+
+    @property
+    def d_pad(self) -> int:
+        return self.data.shape[1]
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+
+def make_pointset(
+    points: np.ndarray,
+    metric: str,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> PointSet:
+    """Pad + upload a host point matrix.
+
+    Integer dtypes (uint8/int8, as in the reference's Uint8/Int8 variants) are
+    widened to float32: products and <=2^24 sums are exactly representable, so
+    integer L2/IP distances stay exact for d <= 256.
+    """
+    metric = canonical_metric(metric)
+    if points.ndim != 2:
+        raise ValueError("points array must be 2-dimensional")
+    n, d = points.shape
+    dp = pad_dim(d)
+    host = np.zeros((n, dp), dtype=np.float32)
+    host[:, :d] = points.astype(np.float32)
+    norms = np.einsum("nd,nd->n", host, host).astype(np.float32)
+    data = jnp.asarray(host, dtype=compute_dtype)
+    return PointSet(data=data, norms_sq=jnp.asarray(norms), n=n, d=d, metric=metric)
+
+
+def pad_queries(queries: np.ndarray, d: int, d_padded: int) -> np.ndarray:
+    if queries.ndim != 2 or queries.shape[1] != d:
+        raise ValueError(f"queries must be [nq, {d}], got {queries.shape}")
+    nq = queries.shape[0]
+    out = np.zeros((nq, d_padded), dtype=np.float32)
+    out[:, :d] = queries.astype(np.float32)
+    return out
+
+
+def sort_by_labels(
+    points: np.ndarray, labels: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Label-argsort ingest (ref: src/tree_utils.h:40-98).
+
+    Returns (points_sorted, labels_sorted, decoding) where
+    decoding[sorted_id] = original point id.
+    Labels are kept in float64 on the host so timestamp-scale values
+    (e.g. RedCaps Unix times) binary-search exactly.
+    """
+    labels = np.asarray(labels)
+    if labels.ndim != 1:
+        raise ValueError("filter (label) array must be 1-dimensional")
+    if labels.shape[0] != points.shape[0]:
+        raise ValueError(
+            "filter (label) array must have the same number of elements as the points array"
+        )
+    order = np.argsort(labels, kind="stable")
+    return points[order], labels[order].astype(np.float64), order.astype(np.int64)
+
+
+def first_geq(labels_sorted: np.ndarray, values) -> np.ndarray:
+    """Index of the first label >= value (ref: src/tree_utils.h:20-37).
+
+    Vectorized over `values`. Equals len(labels_sorted) when value exceeds all.
+    """
+    return np.searchsorted(labels_sorted, values, side="left")
+
+
+def label_range_to_window(
+    labels_sorted: np.ndarray, lo, hi
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Map inclusive label ranges [lo, hi] to sorted-index windows.
+
+    Follows the reference's convention: inclusive_start = first index with
+    label >= lo; exclusive_end = first index with label >= hi
+    (ref: src/range_filter_tree.h:306-309). Note the reference's quirk that the
+    point whose label == hi is *excluded* by this arithmetic unless it is
+    matched by `first_geq`; we reproduce it exactly for parity.
+    """
+    return first_geq(labels_sorted, lo), first_geq(labels_sorted, hi)
