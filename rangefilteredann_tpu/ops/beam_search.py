@@ -1,0 +1,199 @@
+"""Batched greedy best-first graph search (beam search) for TPU.
+
+TPU-native re-design of the reference's beam_search hot loop
+(ref: ParlayANN/algorithms/utils/beamSearch.h:53-184). The reference is a
+per-query scalar loop over pointer-chased adjacency with a lossy hash filter
+as an approximate visited set. Here the search is *batched over queries* in a
+single `lax.while_loop` over fixed-shape state:
+
+  * frontier: per query, a sorted (dist, id) array of size B with an
+    "explored" flag per slot — replaces frontier + visited + unvisited_frontier.
+  * visited-set: none. A node dropped from a full frontier can never re-enter
+    (the frontier's k-th distance only improves), so exact dedup against the
+    current frontier is enough to guarantee no node is expanded twice; a
+    re-proposed dropped node just costs one recomputed distance, which on TPU
+    is one lane of an already-fixed-shape matmul. This replaces the lossy hash
+    filter with *exact* semantics at zero memory.
+  * expansion: one node per step per query (the first unexplored frontier
+    slot), its R neighbors gathered from the padded [m, R] adjacency, distances
+    via one MXU block (ops/distances.gathered_distances).
+  * merge: sort-based exact dedup + lexicographic (dist, id) sort, truncate to
+    B, optional `cut` pruning (metric spaces only, ref: beamSearch.h:162-167).
+
+Graphs are "slabs": adjacency rows hold slab-local int32 ids (-1 = padding),
+and `slab_to_global [m]` maps slab positions to rows of the global point
+store. Plain graphs use an identity/offset map; the overlapping-bucket super
+tree uses the same kernel with a non-trivial map.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .distances import gathered_distances
+from .topk import EMPTY_ID
+
+
+class BeamResult(NamedTuple):
+    frontier_ids: jax.Array  # [Q, B] slab ids, EMPTY_ID = empty slot
+    frontier_dists: jax.Array  # [Q, B] f32, +inf = empty
+    num_visited: jax.Array  # [Q] int32 nodes expanded
+    dist_cmps: jax.Array  # [Q] int32 distance computations
+    visited_ids: jax.Array  # [Q, V] slab ids in visit order (or [Q, 0])
+    visited_dists: jax.Array  # [Q, V]
+
+
+def _merge_dedup_sort(ids, dists, expl, beam):
+    """Exact dedup-by-id then (dist, id) sort; returns the best `beam` slots.
+
+    Keep-first priority goes to explored copies so an expanded frontier entry
+    wins over a freshly proposed duplicate of itself.
+    """
+    prio = 1 - expl  # explored (0) sorts first among equal ids
+    s_ids, _, s_d, s_e = jax.lax.sort((ids, prio, dists, expl), num_keys=2)
+    dup = jnp.concatenate(
+        [jnp.zeros_like(s_ids[:, :1], dtype=bool), s_ids[:, 1:] == s_ids[:, :-1]],
+        axis=1,
+    ) & (s_ids != EMPTY_ID)
+    s_ids = jnp.where(dup, EMPTY_ID, s_ids)
+    s_d = jnp.where(dup, jnp.inf, s_d)
+    s_e = jnp.where(dup, 0, s_e)
+    f_d, f_ids, f_e = jax.lax.sort((s_d, s_ids, s_e), num_keys=2)
+    return f_ids[:, :beam], f_d[:, :beam], f_e[:, :beam]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("beam", "k", "metric", "return_visited", "visited_cap"),
+)
+def batched_beam_search(
+    data: jax.Array,  # [n, d_pad] global point store
+    norms_sq: jax.Array,  # [n]
+    nbrs: jax.Array,  # [m, R] int32 slab-local adjacency, -1 padded
+    slab_to_global: jax.Array,  # [m] int32 slab -> global point row
+    queries: jax.Array,  # [Q, d_pad] f32
+    starts: jax.Array,  # [Q] int32 slab start ids
+    *,
+    beam: int,
+    k: int,  # 0 = build-mode (no cut pruning)
+    cut: jax.Array,  # scalar f32
+    limit: jax.Array,  # scalar int32 max nodes visited
+    metric: str,
+    active_in: Optional[jax.Array] = None,  # [Q] bool, False = padded query
+    exclude: Optional[jax.Array] = None,  # [Q] slab id to never propose (-1 none)
+    q_norms_sq: Optional[jax.Array] = None,  # [Q] ||q||^2, needed for L2 cut pruning
+    return_visited: bool = False,
+    visited_cap: int = 0,
+) -> BeamResult:
+    q, _ = queries.shape
+    m, r = nbrs.shape
+    v_cap = visited_cap if return_visited else 0
+
+    if active_in is None:
+        active_in = jnp.ones((q,), dtype=bool)
+    if exclude is None:
+        exclude = jnp.full((q,), -1, dtype=jnp.int32)
+    if q_norms_sq is None:
+        q_norms_sq = jnp.zeros((q,), dtype=jnp.float32)
+
+    # --- init: frontier = {start} ---
+    start_gid = slab_to_global[jnp.clip(starts, 0, m - 1)]
+    d0 = gathered_distances(
+        queries, data[start_gid][:, None, :], norms_sq[start_gid][:, None], metric
+    )[:, 0]
+    f_ids = jnp.full((q, beam), EMPTY_ID, dtype=jnp.int32)
+    f_ids = f_ids.at[:, 0].set(jnp.where(active_in, starts.astype(jnp.int32), EMPTY_ID))
+    f_d = jnp.full((q, beam), jnp.inf, dtype=jnp.float32)
+    f_d = f_d.at[:, 0].set(jnp.where(active_in, d0, jnp.inf))
+    f_e = jnp.zeros((q, beam), dtype=jnp.int32)
+
+    n_vis = jnp.zeros((q,), dtype=jnp.int32)
+    cmps = jnp.where(active_in, 1, 0).astype(jnp.int32)
+    vis_ids = jnp.full((q, max(v_cap, 1)), EMPTY_ID, dtype=jnp.int32)
+    vis_d = jnp.full((q, max(v_cap, 1)), jnp.inf, dtype=jnp.float32)
+
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (q, r), 1)
+    iota_b = jax.lax.broadcasted_iota(jnp.int32, (q, beam), 1)
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (q, max(v_cap, 1)), 1)
+
+    def cond(state):
+        f_ids, f_d, f_e, n_vis, cmps, vis_ids, vis_d = state
+        unexplored = (f_e == 0) & (f_ids != EMPTY_ID)
+        return jnp.any(unexplored.any(axis=1) & (n_vis < limit))
+
+    def body(state):
+        f_ids, f_d, f_e, n_vis, cmps, vis_ids, vis_d = state
+        unexplored = (f_e == 0) & (f_ids != EMPTY_ID)
+        active = unexplored.any(axis=1) & (n_vis < limit)
+
+        # pick the nearest unexplored frontier node (frontier is dist-sorted,
+        # so the first unexplored slot is it — argmax of the bool mask).
+        sel = jnp.argmax(unexplored, axis=1)  # [Q]
+        sel_onehot = iota_b == sel[:, None]
+        cur = jnp.take_along_axis(f_ids, sel[:, None], axis=1)[:, 0]  # [Q]
+        cur_d = jnp.take_along_axis(f_d, sel[:, None], axis=1)[:, 0]
+        cur_safe = jnp.clip(cur, 0, m - 1)
+
+        # mark explored; record in visit order
+        f_e = jnp.where(sel_onehot & active[:, None], 1, f_e)
+        if v_cap:
+            at_slot = (iota_v == n_vis[:, None]) & active[:, None]
+            vis_ids = jnp.where(at_slot, cur[:, None], vis_ids)
+            vis_d = jnp.where(at_slot, cur_d[:, None], vis_d)
+        n_vis = n_vis + active.astype(jnp.int32)
+
+        # gather neighbor ids + distances
+        cand = nbrs[cur_safe]  # [Q, R] slab ids
+        valid = (cand >= 0) & active[:, None] & (cand != exclude[:, None])
+        cand_safe = jnp.clip(cand, 0, m - 1)
+        gid = slab_to_global[cand_safe]
+        gid_safe = jnp.clip(gid, 0, data.shape[0] - 1)
+        cand_dist = gathered_distances(
+            queries, data[gid_safe], norms_sq[gid_safe], metric
+        )
+        cmps = cmps + valid.sum(axis=1, dtype=jnp.int32)
+
+        # drop candidates not beating the current worst of a full frontier
+        # (ref: beamSearch.h:133-144)
+        full = f_ids[:, beam - 1] != EMPTY_ID
+        cutoff = jnp.where(full, f_d[:, beam - 1], jnp.inf)
+        keep = valid & (cand_dist < cutoff[:, None])
+        cand_ids = jnp.where(keep, cand, EMPTY_ID).astype(jnp.int32)
+        cand_dist = jnp.where(keep, cand_dist, jnp.inf)
+
+        # merge, dedup, truncate to beam
+        m_ids = jnp.concatenate([f_ids, cand_ids], axis=1)
+        m_d = jnp.concatenate([f_d, cand_dist], axis=1)
+        m_e = jnp.concatenate([f_e, jnp.zeros_like(cand_ids)], axis=1)
+        nf_ids, nf_d, nf_e = _merge_dedup_sort(m_ids, m_d, m_e, beam)
+
+        # cut pruning (query mode, metric spaces only; ref: beamSearch.h:162-167).
+        # Internal L2 dists are shifted by -||q||^2; `d_true < cut * dk_true`
+        # rewritten in shifted form is `d < cut*dk + (cut-1)*||q||^2`.
+        if k > 0 and k < beam and metric == "l2":
+            kth = nf_d[:, k]
+            do_prune = jnp.isfinite(kth)  # more than k entries present
+            keep_cut = nf_d < (cut * kth + (cut - 1.0) * q_norms_sq)[:, None]
+            drop = do_prune[:, None] & ~keep_cut
+            nf_ids = jnp.where(drop, EMPTY_ID, nf_ids)
+            nf_d = jnp.where(drop, jnp.inf, nf_d)
+            nf_e = jnp.where(drop, 0, nf_e)
+
+        # inactive queries keep their old frontier untouched
+        nf_ids = jnp.where(active[:, None], nf_ids, f_ids)
+        nf_d = jnp.where(active[:, None], nf_d, f_d)
+        nf_e = jnp.where(active[:, None], nf_e, f_e)
+        return nf_ids, nf_d, nf_e, n_vis, cmps, vis_ids, vis_d
+
+    state = (f_ids, f_d, f_e, n_vis, cmps, vis_ids, vis_d)
+    f_ids, f_d, f_e, n_vis, cmps, vis_ids, vis_d = jax.lax.while_loop(
+        cond, body, state
+    )
+    if not return_visited:
+        vis_ids = vis_ids[:, :0]
+        vis_d = vis_d[:, :0]
+    return BeamResult(f_ids, f_d, n_vis, cmps, vis_ids, vis_d)

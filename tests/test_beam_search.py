@@ -1,0 +1,134 @@
+"""Beam search kernel vs the NumPy oracle.
+
+Without cut pruning the TPU kernel's exact-frontier-dedup semantics provably
+match the oracle's exact-seen-set semantics (a node dropped from a full
+frontier can never re-enter), so we require exact frontier equality. With cut
+pruning the two may diverge on re-proposals, so we check near-equality.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rangefilteredann_tpu.ops.beam_search import batched_beam_search
+from rangefilteredann_tpu.utils.data import make_pointset, pad_queries
+from .oracle import beam_search_oracle, random_graph
+
+
+def setup(rng, n=300, d=16, r=8, metric="l2"):
+    points = rng.normal(size=(n, d)).astype(np.float32)
+    nbrs = random_graph(rng, n, r)
+    ps = make_pointset(points, metric)
+    s2g = jnp.arange(n, dtype=jnp.int32)
+    return points, nbrs, ps, s2g
+
+
+@pytest.mark.parametrize("metric", ["l2", "mips"])
+@pytest.mark.parametrize("beam", [4, 16])
+def test_exact_match_no_cut(rng, metric, beam):
+    points, nbrs, ps, s2g = setup(rng, metric=metric)
+    nq = 20
+    queries = rng.normal(size=(nq, 16)).astype(np.float32)
+    qp = jnp.asarray(pad_queries(queries, 16, ps.d_pad))
+    starts = jnp.zeros(nq, jnp.int32)
+
+    res = batched_beam_search(
+        ps.data, ps.norms_sq, jnp.asarray(nbrs), s2g, qp, starts,
+        beam=beam, k=0, cut=jnp.float32(10.0), limit=jnp.int32(10_000),
+        metric=metric, return_visited=True, visited_cap=400,
+    )
+    for qi in range(nq):
+        frontier, visited, cmps = beam_search_oracle(
+            queries[qi], nbrs, points, 0, beam,
+            k=0, cut=10.0, limit=10_000, metric=metric,
+        )
+        got_ids = np.asarray(res.frontier_ids[qi])
+        got_d = np.asarray(res.frontier_dists[qi])
+        want_ids = np.array([e[0] for e in frontier])
+        want_d = np.array([e[1] for e in frontier])
+        nv = len(want_ids)
+        assert (got_ids[:nv] == want_ids).all(), f"q{qi}: {got_ids[:nv]} vs {want_ids}"
+        # l2 oracle computes true dists; kernel returns shifted (missing ||q||^2)
+        shift = float(np.dot(queries[qi], queries[qi])) if metric == "l2" else 0.0
+        np.testing.assert_allclose(got_d[:nv] + shift, want_d, rtol=1e-4, atol=1e-3)
+        # visit order must match too
+        want_vis = [e[0] for e in visited]
+        got_vis = np.asarray(res.visited_ids[qi])[: len(want_vis)]
+        assert (got_vis == want_vis).all()
+        assert int(res.num_visited[qi]) == len(want_vis)
+
+
+def test_limit_respected(rng):
+    points, nbrs, ps, s2g = setup(rng)
+    queries = rng.normal(size=(4, 16)).astype(np.float32)
+    qp = jnp.asarray(pad_queries(queries, 16, ps.d_pad))
+    res = batched_beam_search(
+        ps.data, ps.norms_sq, jnp.asarray(nbrs), s2g, qp,
+        jnp.zeros(4, jnp.int32), beam=8, k=0, cut=jnp.float32(10.0),
+        limit=jnp.int32(5), metric="l2",
+    )
+    assert (np.asarray(res.num_visited) <= 5).all()
+
+
+def knn_graph(points, r):
+    """Navigable test graph: edges to the r nearest neighbors + a ring."""
+    n = len(points)
+    d = ((points[:, None, :] - points[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d, np.inf)
+    nn = np.argsort(d, axis=1)[:, : r - 1]
+    nbrs = np.concatenate([((np.arange(n) + 1) % n)[:, None], nn], axis=1)
+    return nbrs.astype(np.int32)
+
+
+def test_cut_pruning_recall_matches_oracle(rng):
+    """With cut pruning the kernel and oracle may walk different paths after a
+    frontier shrink (no global seen-set vs exact seen-set); what must hold is
+    that recall vs ground truth is as good as the oracle's, on a navigable
+    (kNN) graph like the real Vamana graphs it will search."""
+    n, dim, k = 500, 16, 5
+    points = rng.normal(size=(n, dim)).astype(np.float32)
+    nbrs = knn_graph(points, 8)
+    ps = make_pointset(points, "l2")
+    s2g = jnp.arange(n, dtype=jnp.int32)
+    nq = 32
+    queries = rng.normal(size=(nq, dim)).astype(np.float32)
+    qp = jnp.asarray(pad_queries(queries, dim, ps.d_pad))
+    res = batched_beam_search(
+        ps.data, ps.norms_sq, jnp.asarray(nbrs), s2g, qp,
+        jnp.zeros(nq, jnp.int32), beam=16, k=k, cut=jnp.float32(1.35),
+        limit=jnp.int32(10_000), metric="l2",
+        q_norms_sq=jnp.asarray(np.einsum("qd,qd->q", queries, queries)),
+    )
+    gt = np.argsort(((points[None] - queries[:, None]) ** 2).sum(-1), axis=1)[:, :k]
+    kernel_hits = oracle_hits = 0
+    for qi in range(nq):
+        frontier, _, _ = beam_search_oracle(
+            queries[qi], nbrs, points, 0, 16, k=k, cut=1.35, limit=10_000, metric="l2"
+        )
+        oracle_hits += len(set(e[0] for e in frontier[:k]) & set(gt[qi]))
+        kernel_hits += len(set(np.asarray(res.frontier_ids[qi])[:k].tolist()) & set(gt[qi]))
+    assert kernel_hits >= oracle_hits - 2, (kernel_hits, oracle_hits)
+    assert kernel_hits / (nq * k) > 0.75
+
+
+def test_inactive_and_exclude(rng):
+    points, nbrs, ps, s2g = setup(rng)
+    queries = rng.normal(size=(4, 16)).astype(np.float32)
+    qp = jnp.asarray(pad_queries(queries, 16, ps.d_pad))
+    active = jnp.array([True, False, True, False])
+    res = batched_beam_search(
+        ps.data, ps.norms_sq, jnp.asarray(nbrs), s2g, qp,
+        jnp.zeros(4, jnp.int32), beam=8, k=0, cut=jnp.float32(10.0),
+        limit=jnp.int32(1000), metric="l2", active_in=active,
+    )
+    # inactive queries return all-empty frontiers and zero stats
+    assert (np.asarray(res.frontier_ids[1]) == 2**31 - 1).all()
+    assert int(res.num_visited[1]) == 0
+    # exclude: the excluded node never appears in results
+    res2 = batched_beam_search(
+        ps.data, ps.norms_sq, jnp.asarray(nbrs), s2g, qp,
+        jnp.zeros(4, jnp.int32), beam=8, k=0, cut=jnp.float32(10.0),
+        limit=jnp.int32(1000), metric="l2",
+        exclude=jnp.full(4, 7, jnp.int32),
+    )
+    assert not (np.asarray(res2.frontier_ids) == 7).any()
