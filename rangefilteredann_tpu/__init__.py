@@ -14,6 +14,11 @@ from .params import (  # noqa: F401
     QueryParams,
     build_query_params,
 )
-from .models import PrefilterIndex  # noqa: F401
+from .models import (  # noqa: F401
+    PostfilterVamanaIndex,
+    PrefilterIndex,
+    VamanaIndex,
+    build_vamana_index,
+)
 
 __version__ = "0.1.0"

@@ -1,0 +1,214 @@
+"""PostfilterVamanaIndex — Vamana graph search with label postfiltering.
+
+TPU-native equivalent of the reference's PostfilterVamanaIndex
+(ref: src/postfilter_vamana.h:31-255): one Vamana graph over the points;
+queries run repeated beam searches with *beam doubling* — filter results to
+the label window, double the beam until >= k survive or the beam cap is hit,
+then one final search at beam * final_beam_multiply
+(ref: postfilter_vamana.h:161-181).
+
+TPU redesign: points are stored label-sorted, so the label-range filter
+becomes an integer window test on sorted ids — no label gathers on device.
+The per-query doubling loop is hoisted to the host, which regroups unfinished
+queries by their next beam size so every device launch is a dense batch at one
+static beam (bounded set of compiled shapes across a sweep).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.beam_search import batched_beam_search
+from ..ops.topk import EMPTY_ID
+from ..params import BuildParams, QueryParams
+from ..utils.data import first_geq, make_pointset, pad_queries, sort_by_labels
+from .base import finalize_output, next_pow2
+from .vamana import SlabGraph, build_vamana_graph
+
+
+def _filter_topk(
+    f_ids: np.ndarray,  # [Q, B] slab ids (EMPTY_ID padded), (dist, id) sorted
+    f_dists: np.ndarray,  # [Q, B]
+    s2g: np.ndarray,  # [m] slab -> global sorted id
+    win_lo: np.ndarray,  # [Q] inclusive global window start
+    win_hi: np.ndarray,  # [Q] exclusive global window end
+    k: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Window-filter each frontier, return (counts, ids [Q,k], dists [Q,k]).
+
+    counts = number of surviving entries (before k-truncation), the quantity
+    the doubling loop compares against k (ref: postfilter_vamana.h:161).
+    """
+    q, b = f_ids.shape
+    valid = f_ids != int(EMPTY_ID)
+    gids = s2g[np.clip(f_ids, 0, len(s2g) - 1)]
+    inwin = valid & (gids >= win_lo[:, None]) & (gids < win_hi[:, None])
+    counts = inwin.sum(axis=1)
+    out_i = np.full((q, k), int(EMPTY_ID), dtype=np.int64)
+    out_d = np.full((q, k), np.inf, dtype=np.float32)
+    # frontier is (dist, id)-sorted, so in-window order is preserved by take
+    for qi in np.nonzero(counts > 0)[0]:
+        sel = np.nonzero(inwin[qi])[0][:k]
+        out_i[qi, : len(sel)] = gids[qi, sel]
+        out_d[qi, : len(sel)] = f_dists[qi, sel]
+    return counts, out_i, out_d
+
+
+def _run_beam_batch(
+    ps, graph: SlabGraph, queries_padded, q_norms, starts, beam, qp_limit, metric
+):
+    """One dense batched beam search at a fixed beam; returns host frontiers."""
+    q = len(starts)
+    qpow = next_pow2(max(q, 64))
+    qs = np.zeros((qpow, queries_padded.shape[1]), dtype=np.float32)
+    st = np.zeros((qpow,), dtype=np.int32)
+    act = np.zeros((qpow,), dtype=bool)
+    qs[:q], st[:q], act[:q] = queries_padded, starts, True
+    res = batched_beam_search(
+        ps.data, ps.norms_sq, graph.nbrs_dev, graph.slab_to_global_dev,
+        jnp.asarray(qs), jnp.asarray(st),
+        beam=int(beam), k=0,  # k=0: postfilter searches never cut-prune
+        cut=jnp.float32(1.35), limit=jnp.int32(qp_limit), metric=metric,
+        active_in=jnp.asarray(act),
+    )
+    return np.asarray(res.frontier_ids)[:q], np.asarray(res.frontier_dists)[:q]
+
+
+def doubling_postfilter(
+    ps,
+    graph: SlabGraph,
+    queries_padded: np.ndarray,  # [Q, d_pad]
+    q_norms: np.ndarray,  # [Q]
+    starts: np.ndarray,  # [Q] slab start ids
+    win_lo: np.ndarray,  # [Q] global sorted-id window (inclusive start)
+    win_hi: np.ndarray,  # [Q] (exclusive end)
+    qp: QueryParams,
+    metric: str,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Batched beam-doubling postfilter query (ref: postfilter_vamana.h:141-188).
+
+    Returns (ids [Q, k] global sorted ids, dists [Q, k]) — inf/EMPTY padded.
+    """
+    nq = len(starts)
+    k = qp.k
+    s2g = graph.slab_to_global_host
+    cur_beam = np.full(nq, qp.beamSize, dtype=np.int64)
+    res_i = np.full((nq, k), int(EMPTY_ID), dtype=np.int64)
+    res_d = np.full((nq, k), np.inf, dtype=np.float32)
+    ran_any = np.zeros(nq, dtype=bool)
+    done = np.zeros(nq, dtype=bool)
+    # mirror the per-query loop: run while (survivors < k) and (beam < max)
+    done |= cur_beam >= qp.postfiltering_max_beam  # loop never entered
+    while not done.all():
+        for b in np.unique(cur_beam[~done]):
+            sel = np.nonzero(~done & (cur_beam == b))[0]
+            fi, fd = _run_beam_batch(
+                ps, graph, queries_padded[sel], q_norms[sel], starts[sel],
+                b, qp.limit, metric,
+            )
+            counts, ti, td = _filter_topk(fi, fd, s2g, win_lo[sel], win_hi[sel], k)
+            res_i[sel], res_d[sel] = ti, td
+            ran_any[sel] = True
+            enough = counts >= k
+            done[sel[enough]] = True
+            grow = sel[~enough]
+            cur_beam[grow] *= 2
+            done[grow] |= cur_beam[grow] >= qp.postfiltering_max_beam
+    # final pass at beam * final_beam_multiply (ref: postfilter_vamana.h:173-181)
+    final_beam = np.minimum(cur_beam * qp.final_beam_multiply, qp.postfiltering_max_beam)
+    needs_final = final_beam > cur_beam
+    for b in np.unique(final_beam[needs_final]):
+        sel = np.nonzero(needs_final & (final_beam == b))[0]
+        fi, fd = _run_beam_batch(
+            ps, graph, queries_padded[sel], q_norms[sel], starts[sel],
+            b, qp.limit, metric,
+        )
+        _, ti, td = _filter_topk(fi, fd, s2g, win_lo[sel], win_hi[sel], k)
+        res_i[sel], res_d[sel] = ti, td
+    return res_i, res_d
+
+
+class PostfilterVamanaIndex:
+    """Whole-dataset Vamana + doubling postfilter (the 'postfiltering' method)."""
+
+    def __init__(
+        self,
+        points: np.ndarray,
+        filter_values: np.ndarray,
+        build_params: Optional[BuildParams] = None,
+        metric: str = "Euclidian",
+        *,
+        seed: int = 0,
+    ):
+        bp = build_params or BuildParams()
+        points = np.asarray(points)
+        pts_sorted, self._labels_sorted, self._decoding = sort_by_labels(
+            points, np.asarray(filter_values)
+        )
+        self._ps = make_pointset(pts_sorted, metric)
+        n = self._ps.n
+        self._bp = bp
+        self._graph = self._load_or_build(bp, n, seed)
+
+    # --- graph cache (ref: postfilter_vamana.h:54-79,126-138) ---
+    def _cache_file(self, bp: BuildParams, n: int) -> Optional[str]:
+        if not bp.cache_path:
+            return None
+        lo, hi = float(self._labels_sorted[0]), float(self._labels_sorted[-1])
+        return os.path.join(
+            bp.cache_path,
+            f"vamana_{bp.L}_{bp.R}_{bp.alpha:.6f}_{lo:.6f}_{hi:.6f}_{n}.npz",
+        )
+
+    def _load_or_build(self, bp: BuildParams, n: int, seed: int) -> SlabGraph:
+        s2g = np.arange(n, dtype=np.int64)
+        offsets = np.array([0, n], dtype=np.int64)
+        fname = self._cache_file(bp, n)
+        if fname and os.path.exists(fname):
+            with np.load(fname) as z:
+                nbrs = z["nbrs"]
+            g = SlabGraph(
+                nbrs_dev=jnp.asarray(nbrs),
+                slab_to_global_dev=jnp.asarray(s2g.astype(np.int32)),
+                nbrs_host=nbrs,
+                degrees=(nbrs >= 0).sum(axis=1).astype(np.int32),
+                bucket_slab_offsets=offsets,
+                slab_to_global_host=s2g,
+            )
+            return g
+        g = build_vamana_graph(self._ps, s2g, offsets, bp, seed=seed)
+        if fname:
+            os.makedirs(os.path.dirname(fname), exist_ok=True)
+            np.savez_compressed(fname, nbrs=g.nbrs_host)
+        return g
+
+    def batch_search(
+        self,
+        queries: np.ndarray,
+        filters: Sequence[Tuple[float, float]],
+        num_queries: int,
+        query_params: QueryParams,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        queries = np.asarray(queries, dtype=np.float32)[:num_queries]
+        filters = np.asarray(filters, dtype=np.float64)[:num_queries]
+        qp_pad = pad_queries(queries, self._ps.d, self._ps.d_pad)
+        q_norms = np.einsum("qd,qd->q", queries, queries)
+        win_lo = first_geq(self._labels_sorted, filters[:, 0])
+        win_hi = first_geq(self._labels_sorted, filters[:, 1])
+        # reference filters labels with lo <= label <= hi (inclusive hi,
+        # ref: postfilter_vamana.h:236-237): extend hi to include ties
+        win_hi = np.maximum(
+            win_hi, np.searchsorted(self._labels_sorted, filters[:, 1], side="right")
+        )
+        starts = np.zeros(num_queries, dtype=np.int32)  # search starts at vertex 0
+        ids, dists = doubling_postfilter(
+            self._ps, self._graph, qp_pad, q_norms, starts,
+            win_lo, win_hi, query_params, self._ps.metric,
+        )
+        return finalize_output(
+            dists, ids, self._decoding, q_norms, self._ps.metric, pad_id=-1
+        )

@@ -1,0 +1,256 @@
+"""Vamana graph construction, batched for TPU.
+
+TPU-native re-design of the reference's knn_index::batch_insert
+(ref: ParlayANN/algorithms/vamana/index.h:123-135,211-313):
+
+  * The exponential batch schedule is kept (it is what makes later searches
+    run against a mostly-built graph), but *all buckets of a tree row build
+    simultaneously*: each bucket runs the same relative schedule, so a global
+    step is one batched beam search + one batched RobustPrune across every
+    bucket's inserts at once. A row of 1024 tiny graphs costs the same device
+    work as one big graph — this replaces the reference's per-bucket fork-join.
+  * All distance work (insertion beam searches, prune domination tests,
+    final adjacency sort) runs on the TPU; the reverse-edge grouping
+    (ref: index.h:279-306, parlay::group_by_key) is integer bookkeeping and
+    runs on the host over a mirrored adjacency.
+
+Graphs are "slabs" (see ops/beam_search.py): adjacency [m_slab, R] of
+slab-local int32 ids (-1 padded) + slab_to_global. For plain graphs the map is
+an offset iota; buckets are contiguous slab spans given by bucket_slab_offsets.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.beam_search import batched_beam_search
+from ..ops.robust_prune import robust_prune
+from ..ops.distances import gathered_distances
+from ..ops.topk import EMPTY_ID
+from ..params import BuildParams
+from ..utils.data import PointSet
+from .base import next_pow2
+
+PRUNE_CHUNK = 2048  # rows per robust_prune launch (bounds the [m, C, d] gather)
+
+
+@dataclasses.dataclass
+class SlabGraph:
+    """Device adjacency + host mirror for one graph slab."""
+
+    nbrs_dev: jax.Array  # [m, R] int32 slab ids, -1 pad
+    slab_to_global_dev: jax.Array  # [m] int32
+    nbrs_host: np.ndarray  # mirror of nbrs_dev
+    degrees: np.ndarray  # [m] int32
+    bucket_slab_offsets: np.ndarray  # [nb+1] slab-space bucket boundaries
+    slab_to_global_host: np.ndarray = None  # [m] host copy of the slab map
+
+    @property
+    def m(self) -> int:
+        return self.nbrs_host.shape[0]
+
+    @property
+    def R(self) -> int:
+        return self.nbrs_host.shape[1]
+
+    def sync_to_device(self):
+        self.nbrs_dev = jnp.asarray(self.nbrs_host)
+
+
+def _batch_schedule(m: int, base: float = 2.0, max_fraction: float = 0.02):
+    """Exponential insert batches (ref: index.h:228-255). Returns [(lo, hi))."""
+    max_batch = min(int(max_fraction * m), 1_000_000)
+    if max_batch == 0:
+        max_batch = m
+    out = []
+    count, inc = 0, 0
+    while count < m:
+        if base**inc <= max_batch:
+            lo = int(base**inc) - 1
+            hi = min(int(base ** (inc + 1)), m) - 1
+            count = hi
+        else:
+            lo = count
+            hi = min(count + max_batch, m)
+            count = hi
+        if hi > lo:
+            out.append((lo, hi))
+        inc += 1
+    return out
+
+
+def _prune_batched(ps, s2g_dev, p_slab, cand_slab, alpha, R, metric):
+    """robust_prune over row chunks with pow2-padded shapes."""
+    m = len(p_slab)
+    out_ids = np.full((m, R), -1, dtype=np.int32)
+    out_d = np.full((m, R), np.inf, dtype=np.float32)
+    C = cand_slab.shape[1]
+    for lo in range(0, m, PRUNE_CHUNK):
+        chunk_p = p_slab[lo : lo + PRUNE_CHUNK]
+        chunk_c = cand_slab[lo : lo + PRUNE_CHUNK]
+        mp = next_pow2(max(len(chunk_p), 64))
+        pp = np.full((mp,), -1, dtype=np.int32)
+        cc = np.full((mp, C), -1, dtype=np.int32)
+        pp[: len(chunk_p)] = chunk_p
+        cc[: len(chunk_p)] = chunk_c
+        ids, d = robust_prune(
+            ps.data, ps.norms_sq, s2g_dev, jnp.asarray(pp), jnp.asarray(cc),
+            jnp.float32(alpha), R=R, metric=metric,
+        )
+        out_ids[lo : lo + PRUNE_CHUNK] = np.asarray(ids)[: len(chunk_p)]
+        out_d[lo : lo + PRUNE_CHUNK] = np.asarray(d)[: len(chunk_p)]
+    return out_ids, out_d
+
+
+def build_vamana_graph(
+    ps: PointSet,
+    slab_to_global: np.ndarray,  # [m_slab] int64/int32
+    bucket_slab_offsets: np.ndarray,  # [nb+1]
+    bp: BuildParams,
+    *,
+    seed: int = 0,
+    visited_cap: Optional[int] = None,
+    verbose: bool = False,
+) -> SlabGraph:
+    """Build Vamana graphs over every bucket of a slab simultaneously."""
+    rng = np.random.default_rng(seed)
+    m_slab = int(bucket_slab_offsets[-1])
+    nb = len(bucket_slab_offsets) - 1
+    R, L, alpha = bp.R, bp.L, bp.alpha
+    v_cap = visited_cap or (int(1.25 * L) + 64)
+    metric = ps.metric
+
+    s2g_dev = jnp.asarray(slab_to_global.astype(np.int32))
+    g = SlabGraph(
+        nbrs_dev=jnp.full((m_slab, R), -1, dtype=jnp.int32),
+        slab_to_global_dev=s2g_dev,
+        nbrs_host=np.full((m_slab, R), -1, dtype=np.int32),
+        degrees=np.zeros((m_slab,), dtype=np.int32),
+        bucket_slab_offsets=np.asarray(bucket_slab_offsets),
+        slab_to_global_host=slab_to_global.astype(np.int64),
+    )
+
+    # per-bucket random insertion orders + aligned schedules
+    # (start point = bucket slab start, set before shuffling; ref: index.h:128)
+    perms, schedules = [], []
+    for b in range(nb):
+        lo, hi = int(bucket_slab_offsets[b]), int(bucket_slab_offsets[b + 1])
+        perms.append(lo + rng.permutation(hi - lo))
+        schedules.append(_batch_schedule(hi - lo))
+    n_steps = max(len(s) for s in schedules)
+    bucket_starts = bucket_slab_offsets[:-1].astype(np.int32)
+
+    for t in range(n_steps):
+        ins_list, start_list = [], []
+        for b in range(nb):
+            if t < len(schedules[b]):
+                lo, hi = schedules[b][t]
+                ins_list.append(perms[b][lo:hi])
+                start_list.append(np.full(hi - lo, bucket_starts[b], dtype=np.int32))
+        inserts = np.concatenate(ins_list).astype(np.int32)
+        starts = np.concatenate(start_list)
+        mb = len(inserts)
+        mp = next_pow2(max(mb, 64))
+        ins_p = np.full((mp,), m_slab, dtype=np.int32)  # pad = out-of-range slab
+        st_p = np.zeros((mp,), dtype=np.int32)
+        act_p = np.zeros((mp,), dtype=bool)
+        ins_p[:mb], st_p[:mb], act_p[:mb] = inserts, starts, True
+
+        # 1) insertion beam searches against the current graph (device)
+        ins_dev = jnp.asarray(ins_p)
+        q_gid = s2g_dev[jnp.clip(ins_dev, 0, m_slab - 1)]
+        queries = ps.data[q_gid].astype(jnp.float32)
+        res = batched_beam_search(
+            ps.data, ps.norms_sq, g.nbrs_dev, s2g_dev, queries,
+            jnp.asarray(st_p),
+            beam=L, k=0, cut=jnp.float32(1.0), limit=jnp.int32(m_slab),
+            metric=metric, active_in=jnp.asarray(act_p), exclude=ins_dev,
+            return_visited=True, visited_cap=v_cap,
+        )
+        visited = np.asarray(res.visited_ids)[:mb]
+        visited = np.where(visited == int(EMPTY_ID), -1, visited).astype(np.int32)
+
+        # 2) RobustPrune the visited lists -> new out-edges (device)
+        new_out, new_d = _prune_batched(ps, s2g_dev, inserts, visited, alpha, R, metric)
+
+        # 3) set out-edges of the inserted nodes
+        g.nbrs_host[inserts] = new_out
+        g.degrees[inserts] = (new_out >= 0).sum(axis=1)
+
+        # 4) reverse edges grouped by target (host bookkeeping,
+        #    ref: index.h:279-306)
+        u = np.repeat(inserts, R)
+        v = new_out.reshape(-1)
+        ok = v >= 0
+        u, v = u[ok], v[ok]
+        order = np.argsort(v, kind="stable")
+        u, v = u[order], v[order]
+        uniq_v, seg_starts, counts = np.unique(v, return_index=True, return_counts=True)
+
+        fits = g.degrees[uniq_v] + counts <= R
+        rank = np.arange(len(v)) - np.repeat(seg_starts, counts)
+        fits_e = np.repeat(fits, counts)
+        # appends: extend the adjacency rows in place (vectorized scatter)
+        if fits_e.any():
+            rows = v[fits_e]
+            cols = g.degrees[rows] + rank[fits_e]
+            g.nbrs_host[rows, cols] = u[fits_e]
+            g.degrees[uniq_v[fits]] += counts[fits]
+        # overfull: RobustPrune(old neighbors + reverse candidates) with user alpha
+        over_v = uniq_v[~fits]
+        if len(over_v):
+            over_c = counts[~fits]
+            C = next_pow2(max(int(over_c.max()) + R, 2 * R))
+            cand = np.full((len(over_v), C), -1, dtype=np.int32)
+            cand[:, :R] = g.nbrs_host[over_v]
+            over_e = np.repeat(~fits, counts)
+            row_of = np.repeat(np.arange(len(over_v)), over_c)
+            cand[row_of, R + rank[over_e]] = u[over_e]
+            pruned, _ = _prune_batched(ps, s2g_dev, over_v.astype(np.int32), cand, alpha, R, metric)
+            g.nbrs_host[over_v] = pruned
+            g.degrees[over_v] = (pruned >= 0).sum(axis=1)
+
+        g.sync_to_device()
+        if verbose:
+            print(f"  vamana step {t + 1}/{n_steps}: inserted {mb}, "
+                  f"visited avg {np.asarray(res.num_visited)[:mb].mean():.1f}")
+
+    # final pass: sort each adjacency row by distance (ref: index.h:131-134)
+    g.nbrs_host = sort_adjacency_rows(ps, g)
+    g.sync_to_device()
+    return g
+
+
+def sort_adjacency_rows(ps: PointSet, g: SlabGraph) -> np.ndarray:
+    """Per-node neighbor sort by distance, chunked on device."""
+    m, R = g.nbrs_host.shape
+    out = np.empty_like(g.nbrs_host)
+    s2g = g.slab_to_global_dev
+    chunk = 1 << 16
+    for lo in range(0, m, chunk):
+        hi = min(lo + chunk, m)
+        rows = jnp.asarray(g.nbrs_host[lo:hi])
+        out[lo:hi] = np.asarray(_sort_rows_kernel(ps.data, ps.norms_sq, s2g, rows, lo, ps.metric))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("metric",))
+def _sort_rows_kernel(data, norms_sq, s2g, rows, row_base, metric):
+    m_slab = s2g.shape[0]
+    valid = rows >= 0
+    safe = jnp.clip(rows, 0, m_slab - 1)
+    gid = s2g[safe]
+    self_gid = s2g[jnp.clip(row_base + jnp.arange(rows.shape[0]), 0, m_slab - 1)]
+    d = gathered_distances(
+        data[self_gid].astype(jnp.float32), data[gid], norms_sq[gid], metric
+    )
+    d = jnp.where(valid, d, jnp.inf)
+    keys = jnp.where(valid, rows, EMPTY_ID)
+    _, sorted_rows = jax.lax.sort((d, keys), num_keys=1)
+    return jnp.where(sorted_rows == EMPTY_ID, -1, sorted_rows)

@@ -1,0 +1,105 @@
+"""Vamana build quality + RobustPrune oracle tests + postfilter index recall."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rangefilteredann_tpu import BuildParams, build_query_params
+from rangefilteredann_tpu.models.postfilter_vamana import PostfilterVamanaIndex
+from rangefilteredann_tpu.models.vamana import build_vamana_graph
+from rangefilteredann_tpu.models.vamana_index import VamanaIndex
+from rangefilteredann_tpu.ops.robust_prune import robust_prune
+from rangefilteredann_tpu.utils.data import make_pointset
+from .oracle import robust_prune_oracle
+
+
+def test_robust_prune_matches_oracle(rng):
+    n, d, C, R = 200, 8, 32, 8
+    points = rng.normal(size=(n, d)).astype(np.float32)
+    ps = make_pointset(points, "l2")
+    s2g = jnp.arange(n, dtype=jnp.int32)
+    m = 16
+    p_slab = rng.choice(n, size=m, replace=False).astype(np.int32)
+    cand = np.stack([rng.choice(n, size=C, replace=False) for _ in range(m)]).astype(np.int32)
+    ids, dists = robust_prune(
+        ps.data, ps.norms_sq, s2g, jnp.asarray(p_slab), jnp.asarray(cand),
+        jnp.float32(1.2), R=R, metric="l2",
+    )
+    for i in range(m):
+        cand_dists = [
+            (int(c), float(np.dot(points[p_slab[i]] - points[c], points[p_slab[i]] - points[c])))
+            for c in cand[i]
+        ]
+        want = robust_prune_oracle(int(p_slab[i]), cand_dists, points, 1.2, R, "l2")
+        got = [int(x) for x in np.asarray(ids[i]) if x >= 0]
+        assert got == want, f"row {i}: {got} vs {want}"
+
+
+def test_vamana_build_unfiltered_recall(rng):
+    n, d, k = 2000, 32, 10
+    points = rng.normal(size=(n, d)).astype(np.float32)
+    ps = make_pointset(points, "l2")
+    bp = BuildParams(R=32, L=64, alpha=1.2)
+    g = build_vamana_graph(ps, np.arange(n, dtype=np.int64), np.array([0, n]), bp, seed=1)
+    # degree bound respected
+    assert ((g.nbrs_host >= 0).sum(axis=1) <= bp.R).all()
+    # no self-edges
+    self_edge = g.nbrs_host == np.arange(n)[:, None]
+    assert not self_edge.any()
+
+    idx = VamanaIndex.from_arrays(points, g.nbrs_host, metric="Euclidian")
+    queries = rng.normal(size=(100, d)).astype(np.float32)
+    ids, dists = idx.batch_search(queries, 100, k, beam_width=60)
+    gt = np.argsort(((points[None] - queries[:, None]) ** 2).sum(-1), axis=1)[:, :k]
+    recall = np.mean([
+        len(set(ids[i].astype(int)) & set(gt[i])) / k for i in range(100)
+    ])
+    assert recall > 0.9, f"unfiltered vamana recall {recall}"
+
+
+def test_multibucket_build_stays_in_buckets(rng):
+    """A row of several buckets built at once: edges must stay intra-bucket."""
+    n, d = 1200, 16
+    points = rng.normal(size=(n, d)).astype(np.float32)
+    ps = make_pointset(points, "l2")
+    offsets = np.array([0, 300, 600, 900, 1200])
+    bp = BuildParams(R=16, L=32, alpha=1.2)
+    g = build_vamana_graph(ps, np.arange(n, dtype=np.int64), offsets, bp, seed=2)
+    bucket_of = np.searchsorted(offsets, np.arange(n), side="right") - 1
+    rows = np.repeat(np.arange(n), g.nbrs_host.shape[1])
+    flat = g.nbrs_host.reshape(-1)
+    ok = flat >= 0
+    assert (bucket_of[rows[ok]] == bucket_of[flat[ok]]).all()
+    # every bucket's nodes have some edges
+    deg = (g.nbrs_host >= 0).sum(1)
+    for b in range(4):
+        assert deg[offsets[b]:offsets[b + 1]].mean() > 4
+
+
+@pytest.mark.parametrize("metric", ["Euclidian", "mips"])
+def test_postfilter_vamana_recall(rng, gt_fn, metric):
+    n, d, k = 3000, 24, 10
+    points = rng.normal(size=(n, d)).astype(np.float32)
+    if metric == "mips":
+        points /= np.linalg.norm(points, axis=1, keepdims=True)
+    labels = rng.uniform(size=n)
+    idx = PostfilterVamanaIndex(
+        points, labels, BuildParams(R=32, L=64, alpha=1.2), metric=metric
+    )
+    nq = 60
+    queries = rng.normal(size=(nq, d)).astype(np.float32)
+    if metric == "mips":
+        queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    # wide-ish ranges where postfiltering is sane (fraction 1/4)
+    starts_f = rng.uniform(0, 0.75, size=nq)
+    filters = np.stack([starts_f, starts_f + 0.25], axis=1)
+    qp = build_query_params(k, 40, final_beam_multiply=4)
+    ids, dists = idx.batch_search(queries, filters, nq, qp)
+    m = "l2" if metric == "Euclidian" else "mips"
+    gt_ids, _ = gt_fn(points, labels, queries, filters, k, m)
+    recall = np.mean([
+        len(set(ids[i].astype(int)) & set(gt_ids[i][gt_ids[i] >= 0].astype(int)))
+        / max((gt_ids[i] >= 0).sum(), 1)
+        for i in range(nq)
+    ])
+    assert recall > 0.85, f"postfilter recall {recall} ({metric})"
