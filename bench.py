@@ -1,0 +1,103 @@
+"""Benchmark: QPS at recall@10 >= 0.9, filter fraction 2^-2, beam-doubling
+postfiltering over a Vamana graph (BASELINE.md config #1 shape: SIFT-like
+fp32 L2 vectors, uniform labels, k=10).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": QPS, "unit": "qps", "vs_baseline": ...}
+
+vs_baseline divides by BASELINE_CPU_QPS, an order-of-magnitude estimate of
+the reference's multicore-CPU QPS at recall 0.9 for this config (the repo
+publishes no absolute numbers — BASELINE.md: "published: {}"; the paper's
+SIFT Pareto fronts at fraction 2^-2 sit around 1e5 QPS at recall 0.9 on a
+large multicore box). The north-star target is vs_baseline >= 10.
+
+The built graph is cached under bench_cache/ and XLA compilations under
+.jax_cache/, so steady-state bench runs measure query throughput, not builds.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from rangefilteredann_tpu import BuildParams, build_query_params
+from rangefilteredann_tpu.models.postfilter_vamana import PostfilterVamanaIndex
+
+N = 200_000
+D = 128
+K = 10
+FRACTION = 2.0**-2
+NQ = 2048
+BASELINE_CPU_QPS = 1.0e5
+BEAMS = [10, 20, 40, 80, 160]
+FINAL_MULTIPLIES = [2, 4]
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    rng = np.random.default_rng(42)
+    points = rng.normal(size=(N, D)).astype(np.float32)
+    labels = rng.uniform(size=N)
+    queries = rng.normal(size=(NQ, D)).astype(np.float32)
+    width = FRACTION
+    starts = rng.uniform(0, 1 - width, size=NQ)
+    filters = np.stack([starts, starts + width], axis=1)
+
+    t0 = time.time()
+    idx = PostfilterVamanaIndex(
+        points, labels,
+        BuildParams(R=48, L=100, alpha=1.2, cache_path="bench_cache/"),
+    )
+    log(f"build/load: {time.time() - t0:.1f}s")
+
+    # exact GT on device via the prefilter scan (fast, exact)
+    from rangefilteredann_tpu.models.prefilter import PrefilterIndex
+    gt_idx = PrefilterIndex(points, labels, metric="Euclidian")
+    gt_ids, _ = gt_idx.batch_search(queries, filters, NQ, build_query_params(K, K))
+    gt_sets = [set(row.astype(np.int64).tolist()) for row in gt_ids]
+
+    best = None
+    for fm in FINAL_MULTIPLIES:
+        for beam in BEAMS:
+            qp = build_query_params(K, beam, final_beam_multiply=fm)
+            ids, _ = idx.batch_search(queries, filters, NQ, qp)  # warm-up
+            t0 = time.time()
+            ids, _ = idx.batch_search(queries, filters, NQ, qp)
+            dt = time.time() - t0
+            qps = NQ / dt
+            recall = np.mean([
+                len(gt_sets[i] & set(ids[i].astype(np.int64).tolist())) / K
+                for i in range(NQ)
+            ])
+            log(f"beam={beam} fm={fm}: recall={recall:.4f} qps={qps:.0f}")
+            if recall >= 0.9 and (best is None or qps > best[0]):
+                best = (qps, recall, beam, fm)
+
+    if best is None:
+        print(json.dumps({
+            "metric": "qps_at_recall0.9_frac2^-2_postfilter_sift200k",
+            "value": 0.0, "unit": "qps", "vs_baseline": 0.0,
+        }))
+        return
+    qps, recall, beam, fm = best
+    print(json.dumps({
+        "metric": "qps_at_recall0.9_frac2^-2_postfilter_sift200k",
+        "value": round(qps, 1),
+        "unit": "qps",
+        "vs_baseline": round(qps / BASELINE_CPU_QPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

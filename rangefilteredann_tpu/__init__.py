@@ -17,6 +17,8 @@ from .params import (  # noqa: F401
 from .models import (  # noqa: F401
     PostfilterVamanaIndex,
     PrefilterIndex,
+    RangeFilterTreeIndex,
+    SuperOptimizedPostfilterTree,
     VamanaIndex,
     build_vamana_index,
 )

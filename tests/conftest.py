@@ -1,15 +1,20 @@
-"""Test config: force an 8-virtual-device CPU platform before JAX imports.
+"""Test config: force an 8-virtual-device CPU platform before any JAX use.
 
-Multi-chip sharding tests run on a virtual CPU mesh; the real TPU is only used
-by bench.py.
+The environment's sitecustomize registers the `axon` TPU backend and pins
+JAX_PLATFORMS=axon, so plain env vars are not enough — we must override via
+jax.config. Multi-chip sharding tests run on this virtual CPU mesh; the real
+TPU is only used by bench.py / manual verification.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,71 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rangefilteredann_tpu.parallel import (
+    make_mesh,
+    sharded_beam_search,
+    sharded_scan_bruteforce,
+)
+from rangefilteredann_tpu.ops.beam_search import batched_beam_search
+from rangefilteredann_tpu.utils.data import make_pointset, pad_queries
+from .test_beam_search import knn_graph
+
+
+@pytest.fixture(scope="module")
+def setup8():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    rng = np.random.default_rng(0)
+    n, d = 512, 16
+    points = rng.normal(size=(n, d)).astype(np.float32)
+    nbrs = knn_graph(points, 8)
+    ps = make_pointset(points, "l2")
+    queries = rng.normal(size=(64, d)).astype(np.float32)
+    qp = pad_queries(queries, d, ps.d_pad)
+    return points, nbrs, ps, queries, qp
+
+
+def test_query_sharded_matches_single_device(setup8):
+    points, nbrs, ps, queries, qp = setup8
+    n = len(points)
+    mesh = make_mesh(8)
+    common = dict(beam=16, k=10, cut=jnp.float32(1.35), limit=jnp.int32(n), metric="l2")
+    qn = jnp.asarray(np.einsum("qd,qd->q", queries, queries))
+    res_sh = sharded_beam_search(
+        mesh, ps.data, ps.norms_sq, jnp.asarray(nbrs),
+        jnp.arange(n, dtype=jnp.int32), jnp.asarray(qp),
+        jnp.zeros(len(queries), jnp.int32), q_norms_sq=qn, **common,
+    )
+    res_1 = batched_beam_search(
+        ps.data, ps.norms_sq, jnp.asarray(nbrs), jnp.arange(n, dtype=jnp.int32),
+        jnp.asarray(qp), jnp.zeros(len(queries), jnp.int32), q_norms_sq=qn, **common,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_sh.frontier_ids), np.asarray(res_1.frontier_ids)
+    )
+
+
+def test_index_sharded_scan_exact(setup8):
+    points, nbrs, ps, queries, qp = setup8
+    n, k = len(points), 10
+    mesh = make_mesh(8)
+    starts = np.zeros(len(queries), dtype=np.int32)
+    ends = np.full(len(queries), n, dtype=np.int32)
+    d_out, i_out = sharded_scan_bruteforce(
+        mesh, ps.data, ps.norms_sq, jnp.asarray(qp), starts, ends, k, "l2"
+    )
+    gt = np.argsort(((points[None] - queries[:, None]) ** 2).sum(-1), axis=1)[:, :k]
+    got = np.asarray(i_out)
+    for i in range(len(queries)):
+        assert set(got[i]) == set(gt[i])
+    # range-restricted windows too
+    starts2 = np.full(len(queries), 100, dtype=np.int32)
+    ends2 = np.full(len(queries), 300, dtype=np.int32)
+    d2, i2 = sharded_scan_bruteforce(
+        mesh, ps.data, ps.norms_sq, jnp.asarray(qp), starts2, ends2, k, "l2"
+    )
+    got2 = np.asarray(i2)
+    assert ((got2 >= 100) & (got2 < 300)).all()

