@@ -37,8 +37,10 @@ K = 10
 FRACTION = 2.0**-2
 NQ = 2048
 BASELINE_CPU_QPS = 1.0e5
-BEAMS = [10, 20, 40, 80, 160]
+BEAMS = [10, 20, 40, 80, 160, 320]
 FINAL_MULTIPLIES = [2, 4]
+CLUSTERS = 1000  # SIFT-like cluster structure (isotropic gaussian is a
+#                  pathological ANN instance that no real workload resembles)
 
 
 def log(*a):
@@ -47,9 +49,12 @@ def log(*a):
 
 def main():
     rng = np.random.default_rng(42)
-    points = rng.normal(size=(N, D)).astype(np.float32)
+    centers = rng.normal(size=(CLUSTERS, D)).astype(np.float32)
+    assign = rng.integers(0, CLUSTERS, size=N)
+    points = (centers[assign] + 0.35 * rng.normal(size=(N, D))).astype(np.float32)
     labels = rng.uniform(size=N)
-    queries = rng.normal(size=(NQ, D)).astype(np.float32)
+    q_assign = rng.integers(0, CLUSTERS, size=NQ)
+    queries = (centers[q_assign] + 0.35 * rng.normal(size=(NQ, D))).astype(np.float32)
     width = FRACTION
     starts = rng.uniform(0, 1 - width, size=NQ)
     filters = np.stack([starts, starts + width], axis=1)

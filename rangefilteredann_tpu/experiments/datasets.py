@@ -123,12 +123,17 @@ def generate_filters(
     queries: np.ndarray,
     filter_values: np.ndarray,
     seed: int = 0,
+    powers=None,
 ) -> None:
     """All 17 fraction query-range + GT files (ref: filter_generation_utils.py
-    generate_filters)."""
+    generate_filters). `powers` restricts the fractions (fractions whose
+    windows would hold fewer than TOP_K points are skipped with a warning)."""
     os.makedirs(output_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
-    for p in EXPERIMENT_FILTER_POWERS:
+    for p in powers if powers is not None else EXPERIMENT_FILTER_POWERS:
+        if int(len(filter_values) * 2.0**p) < TOP_K:
+            print(f"skipping 2pow{p}: window would hold < {TOP_K} points")
+            continue
         ranges = generate_random_query_filter_ranges(
             filter_values, 2.0**p, len(queries), rng
         )
@@ -142,6 +147,7 @@ def generate_filters(
 def generate_synthetic(
     output_dir: str, name: str = "synthetic-64-euclidean",
     n: int = 100_000, d: int = 64, nq: int = 1000, seed: int = 0,
+    powers=None,
 ) -> None:
     """Local stand-in for the downloaded ann-benchmarks sets: gaussian points,
     uniform random labels (ref label assignment:
@@ -158,7 +164,8 @@ def generate_synthetic(
     np.save(os.path.join(output_dir, f"{name}.npy"), data)
     np.save(os.path.join(output_dir, f"{name}_queries.npy"), queries)
     np.save(os.path.join(output_dir, f"{name}_filter-values.npy"), labels)
-    generate_filters(output_dir, angular, name, data, queries, labels, seed)
+    generate_filters(output_dir, angular, name, data, queries, labels, seed,
+                     powers=powers)
 
 
 def generate_adversarial(
@@ -217,6 +224,47 @@ def convert_ann_benchmarks_hdf5(
     np.save(os.path.join(output_dir, f"{name}_queries.npy"), queries)
     np.save(os.path.join(output_dir, f"{name}_filter-values.npy"), labels)
     generate_filters(output_dir, is_angular(name), name, data, queries, labels, seed)
+
+
+def convert_redcaps(
+    embeddings_path: str,
+    timestamps_path: str,
+    queries_path: str,
+    output_dir: str,
+    name: str = "redcaps-512-angular",
+    seed: int = 0,
+) -> None:
+    """RedCaps protocol files from locally present CLIP embeddings
+    (ref: generate_redcaps_data.py:15-16,65-80 — ~12M CLIP ViT-B/16 image
+    embeddings, 512d, L2-normalized, labels = Unix created_utc timestamps;
+    queries are 800 CLIP text-tower embeddings,
+    ref: generate_redcaps_queries.py:14-29). Downloading/embedding RedCaps
+    needs network access; this converts the three .npy artifacts."""
+    data = np.load(embeddings_path).astype(np.float32)
+    data /= np.linalg.norm(data, axis=1, keepdims=True)
+    labels = np.load(timestamps_path).astype(np.float64)
+    queries = np.load(queries_path).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    os.makedirs(output_dir, exist_ok=True)
+    np.save(os.path.join(output_dir, f"{name}.npy"), data)
+    np.save(os.path.join(output_dir, f"{name}_queries.npy"), queries)
+    np.save(os.path.join(output_dir, f"{name}_filter-values.npy"), labels)
+    generate_filters(output_dir, True, name, data, queries, labels, seed)
+
+
+def embed_clip_queries(texts, model_name="openai/clip-vit-base-patch16"):
+    """CLIP text-tower embeddings for RedCaps-style text queries
+    (ref: generate_redcaps_queries.py:14-29). Requires locally cached
+    transformers weights (no network egress here); raises otherwise."""
+    import torch
+    from transformers import CLIPModel, CLIPProcessor
+
+    model = CLIPModel.from_pretrained(model_name)
+    proc = CLIPProcessor.from_pretrained(model_name)
+    with torch.no_grad():
+        inputs = proc(text=list(texts), return_tensors="pt", padding=True)
+        emb = model.get_text_features(**inputs).numpy().astype(np.float32)
+    return emb / np.linalg.norm(emb, axis=1, keepdims=True)
 
 
 # ------------------------------------------------------------------ loading

@@ -15,7 +15,10 @@ from typing import Tuple
 import jax.numpy as jnp
 import numpy as np
 
+import jax
+
 from ..ops.bruteforce import scan_bruteforce, windowed_bruteforce
+from ..ops.pallas_scan import pallas_scan_bruteforce
 from ..ops.topk import EMPTY_ID as _EMPTY_ID
 from ..utils.data import METRIC_L2
 
@@ -97,10 +100,17 @@ def batched_range_bruteforce(
         qs[: len(sel)] = queries_padded[sel]
         ss[: len(sel)] = starts[sel]
         ee[: len(sel)] = ends[sel]
-        d, i = scan_bruteforce(
-            data, norms_sq, jnp.asarray(qs), jnp.asarray(ss), jnp.asarray(ee),
-            k=k, metric=metric,
-        )
+        if jax.default_backend() == "tpu":
+            # fused Pallas kernel: matmul + window mask + in-VMEM top-k
+            d, i = pallas_scan_bruteforce(
+                data, norms_sq, jnp.asarray(qs), jnp.asarray(ss),
+                jnp.asarray(ee), k=k, metric=metric,
+            )
+        else:
+            d, i = scan_bruteforce(
+                data, norms_sq, jnp.asarray(qs), jnp.asarray(ss),
+                jnp.asarray(ee), k=k, metric=metric,
+            )
         out_d[sel] = np.asarray(d)[: len(sel)]
         out_i[sel] = np.asarray(i)[: len(sel)]
     return out_d, out_i

@@ -22,7 +22,11 @@ from typing import Optional, Sequence, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.beam_search import batched_beam_search
+from ..ops.beam_search import (
+    batched_beam_search,
+    default_expand,
+    window_filter_topk,
+)
 from ..ops.topk import EMPTY_ID
 from ..params import BuildParams, QueryParams
 from ..utils.data import first_geq, make_pointset, pad_queries, sort_by_labels
@@ -30,38 +34,31 @@ from .base import finalize_output, next_pow2
 from .vamana import SlabGraph, build_vamana_graph
 
 
-def _filter_topk(
-    f_ids: np.ndarray,  # [Q, B] slab ids (EMPTY_ID padded), (dist, id) sorted
-    f_dists: np.ndarray,  # [Q, B]
-    s2g: np.ndarray,  # [m] slab -> global sorted id
-    win_lo: np.ndarray,  # [Q] inclusive global window start
-    win_hi: np.ndarray,  # [Q] exclusive global window end
-    k: int,
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Window-filter each frontier, return (counts, ids [Q,k], dists [Q,k]).
-
-    counts = number of surviving entries (before k-truncation), the quantity
-    the doubling loop compares against k (ref: postfilter_vamana.h:161).
-    """
-    q, b = f_ids.shape
-    valid = f_ids != int(EMPTY_ID)
-    gids = s2g[np.clip(f_ids, 0, len(s2g) - 1)]
-    inwin = valid & (gids >= win_lo[:, None]) & (gids < win_hi[:, None])
-    counts = inwin.sum(axis=1)
-    out_i = np.full((q, k), int(EMPTY_ID), dtype=np.int64)
-    out_d = np.full((q, k), np.inf, dtype=np.float32)
-    # frontier is (dist, id)-sorted, so in-window order is preserved by take
-    for qi in np.nonzero(counts > 0)[0]:
-        sel = np.nonzero(inwin[qi])[0][:k]
-        out_i[qi, : len(sel)] = gids[qi, sel]
-        out_d[qi, : len(sel)] = f_dists[qi, sel]
-    return counts, out_i, out_d
+def _filter_topk(f_ids, f_dists, graph: SlabGraph, win_lo, win_hi, k):
+    """Window-filter each frontier on device, return host (counts, ids [Q,k],
+    dists [Q,k]). counts = surviving entries before k-truncation, the quantity
+    the doubling loop compares against k (ref: postfilter_vamana.h:161)."""
+    q = len(win_lo)
+    qpow = f_ids.shape[0]  # device rows are pow2-padded; pad windows to match
+    wl = np.zeros(qpow, dtype=np.int32)
+    wh = np.zeros(qpow, dtype=np.int32)
+    wl[:q], wh[:q] = win_lo, win_hi
+    counts, g, d = window_filter_topk(
+        f_ids, f_dists, graph.slab_to_global_dev,
+        jnp.asarray(wl), jnp.asarray(wh), k,
+    )
+    return (
+        np.asarray(counts)[:q],
+        np.asarray(g)[:q].astype(np.int64),
+        np.asarray(d)[:q],
+    )
 
 
 def _run_beam_batch(
     ps, graph: SlabGraph, queries_padded, q_norms, starts, beam, qp_limit, metric
 ):
-    """One dense batched beam search at a fixed beam; returns host frontiers."""
+    """One dense batched beam search at a fixed beam; returns device frontiers
+    (padded rows beyond len(starts) are inactive)."""
     q = len(starts)
     qpow = next_pow2(max(q, 64))
     qs = np.zeros((qpow, queries_padded.shape[1]), dtype=np.float32)
@@ -73,9 +70,9 @@ def _run_beam_batch(
         jnp.asarray(qs), jnp.asarray(st),
         beam=int(beam), k=0,  # k=0: postfilter searches never cut-prune
         cut=jnp.float32(1.35), limit=jnp.int32(qp_limit), metric=metric,
-        active_in=jnp.asarray(act),
+        active_in=jnp.asarray(act), expand=default_expand(int(beam)),
     )
-    return np.asarray(res.frontier_ids)[:q], np.asarray(res.frontier_dists)[:q]
+    return res.frontier_ids, res.frontier_dists
 
 
 def doubling_postfilter(
@@ -95,11 +92,9 @@ def doubling_postfilter(
     """
     nq = len(starts)
     k = qp.k
-    s2g = graph.slab_to_global_host
     cur_beam = np.full(nq, qp.beamSize, dtype=np.int64)
     res_i = np.full((nq, k), int(EMPTY_ID), dtype=np.int64)
     res_d = np.full((nq, k), np.inf, dtype=np.float32)
-    ran_any = np.zeros(nq, dtype=bool)
     done = np.zeros(nq, dtype=bool)
     # mirror the per-query loop: run while (survivors < k) and (beam < max)
     done |= cur_beam >= qp.postfiltering_max_beam  # loop never entered
@@ -110,9 +105,8 @@ def doubling_postfilter(
                 ps, graph, queries_padded[sel], q_norms[sel], starts[sel],
                 b, qp.limit, metric,
             )
-            counts, ti, td = _filter_topk(fi, fd, s2g, win_lo[sel], win_hi[sel], k)
+            counts, ti, td = _filter_topk(fi, fd, graph, win_lo[sel], win_hi[sel], k)
             res_i[sel], res_d[sel] = ti, td
-            ran_any[sel] = True
             enough = counts >= k
             done[sel[enough]] = True
             grow = sel[~enough]
@@ -127,7 +121,7 @@ def doubling_postfilter(
             ps, graph, queries_padded[sel], q_norms[sel], starts[sel],
             b, qp.limit, metric,
         )
-        _, ti, td = _filter_topk(fi, fd, s2g, win_lo[sel], win_hi[sel], k)
+        _, ti, td = _filter_topk(fi, fd, graph, win_lo[sel], win_hi[sel], k)
         res_i[sel], res_d[sel] = ti, td
     return res_i, res_d
 

@@ -39,7 +39,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.beam_search import batched_beam_search
+from .. import native
+from ..ops.beam_search import batched_beam_search, default_expand
 from ..ops.topk import EMPTY_ID
 from ..params import (
     DEFAULT_CUTOFF,
@@ -244,28 +245,25 @@ class RangeFilterTreeIndex:
         return ("bucket", (row, idx))
 
     # -------------------------------------------------------------- execution
-    def _run_single_shot(self, tasks, queries_padded, q_norms, beam_by_task, k):
+    def _run_single_shot(self, qis, rows, buckets, beams, queries_padded, k):
         """Dense batched single-shot bucket searches, grouped by (row, beam).
 
-        tasks: list of (qi, row, bucket). Single-shot is the collapsed form of
-        the leaf doubling query when the bucket is wholly inside the filter
-        range: every result passes the label filter, so the doubling loop runs
-        once and only the final_beam_multiply pass matters (see module doc).
+        Single-shot is the collapsed form of the leaf doubling query when the
+        bucket is wholly inside the filter range: every result passes the
+        label filter, so the doubling loop runs once and only the
+        final_beam_multiply pass matters (see module doc).
         Returns per-task (ids [T, k], dists [T, k]) in global sorted ids.
         """
-        t_count = len(tasks)
+        t_count = len(qis)
         out_i = np.full((t_count, k), int(EMPTY_ID), dtype=np.int64)
         out_d = np.full((t_count, k), np.inf, dtype=np.float32)
         if not t_count:
             return out_i, out_d
-        rows = np.array([t[1] for t in tasks])
-        qis = np.array([t[0] for t in tasks])
-        buckets = np.array([t[2] for t in tasks])
         for r in np.unique(rows):
             g = self._graphs[r]
             off = self._offsets[r]
-            for beam in np.unique(beam_by_task[rows == r]):
-                sel = np.nonzero((rows == r) & (beam_by_task == beam))[0]
+            for beam in np.unique(beams[rows == r]):
+                sel = np.nonzero((rows == r) & (beams == beam))[0]
                 starts = off[buckets[sel]].astype(np.int32)
                 tp = next_pow2(max(len(sel), 64))
                 qs = np.zeros((tp, queries_padded.shape[1]), np.float32)
@@ -279,7 +277,7 @@ class RangeFilterTreeIndex:
                     g.slab_to_global_dev, jnp.asarray(qs), jnp.asarray(st),
                     beam=int(beam), k=0, cut=jnp.float32(1.35),
                     limit=jnp.int32(10_000_000), metric=self._ps.metric,
-                    active_in=jnp.asarray(act),
+                    active_in=jnp.asarray(act), expand=default_expand(int(beam)),
                 )
                 fi = np.asarray(res.frontier_ids)[: len(sel), :k]
                 fd = np.asarray(res.frontier_dists)[: len(sel), :k]
@@ -288,21 +286,15 @@ class RangeFilterTreeIndex:
                 out_d[sel] = np.where(valid, fd, np.inf)
         return out_i, out_d
 
-    def _run_doubling(self, tasks, queries_padded, q_norms, wins, qp):
-        """Beam-doubling bucket tasks grouped by row.
-
-        tasks: list of (qi, row, bucket); wins: [(win_lo, win_hi)] per task.
-        """
-        t_count = len(tasks)
+    def _run_doubling(self, qis, rows, buckets, win_lo, win_hi,
+                      queries_padded, q_norms, qp):
+        """Beam-doubling bucket tasks grouped by row."""
+        t_count = len(qis)
         k = qp.k
         out_i = np.full((t_count, k), int(EMPTY_ID), dtype=np.int64)
         out_d = np.full((t_count, k), np.inf, dtype=np.float32)
         if not t_count:
             return out_i, out_d
-        rows = np.array([t[1] for t in tasks])
-        qis = np.array([t[0] for t in tasks])
-        buckets = np.array([t[2] for t in tasks])
-        wins = np.asarray(wins, dtype=np.int64).reshape(t_count, 2)
         for r in np.unique(rows):
             sel = np.nonzero(rows == r)[0]
             g = self._graphs[r]
@@ -310,12 +302,228 @@ class RangeFilterTreeIndex:
             starts = off[buckets[sel]].astype(np.int32)
             ids, dists = doubling_postfilter(
                 self._ps, g, queries_padded[qis[sel]], q_norms[qis[sel]],
-                starts, wins[sel, 0], wins[sel, 1], qp, self._ps.metric,
+                starts, win_lo[sel], win_hi[sel], qp, self._ps.metric,
             )
             out_i[sel], out_d[sel] = ids, dists
         return out_i, out_d
 
+    # ------------------------------------------------- native batched planning
+    def _fenwick_tasks(self, plan, sel, beam, lo_s, hi_s, single, brute):
+        """Append a plan_fenwick_batch result for queries `sel` (planned over
+        ranges lo_s/hi_s) to the flat task lists."""
+        b_row, b_idx, b_cnt, fringe = plan
+        cap = b_row.shape[1]
+        mask = np.arange(cap)[None, :] < b_cnt[:, None]
+        qi_rep = np.repeat(sel, b_cnt)
+        rows_f = b_row[mask].astype(np.int64)
+        idx_f = b_idx[mask]
+        if self._leaf == "vamana":
+            single.append(
+                (qi_rep, rows_f, idx_f,
+                 np.full(len(qi_rep), beam, dtype=np.int64))
+            )
+        else:
+            # prefilter leaves: bucket searches are exact windows
+            self._buckets_as_windows(qi_rep, rows_f, idx_f, brute)
+        for c in range(0, 4, 2):
+            fs, fe = fringe[:, c], fringe[:, c + 1]
+            ok = fe > fs
+            brute.append((sel[ok], fs[ok], fe[ok]))
+
+    def _buckets_as_windows(self, qi_rep, rows_f, idx_f, brute):
+        s = np.empty(len(rows_f), dtype=np.int64)
+        e = np.empty(len(rows_f), dtype=np.int64)
+        for r in np.unique(rows_f):
+            m = rows_f == r
+            s[m] = self._offsets[r][idx_f[m]]
+            e[m] = self._offsets[r][idx_f[m] + 1]
+        brute.append((qi_rep, s, e))
+
+    def _plan_batch_native(self, query_method, lo_idx, hi_idx, hi_incl, qp):
+        """Plan every query with the native host runtime (rangefilteredann_tpu/
+        native.py -> native/winann_native.cpp), replacing the per-query Python
+        planner loop with three batched C++ passes. Returns flat task arrays
+        (single, dbl, brute) or None when the library is unavailable (caller
+        falls back to the Python planner). Parity with the Python planner is
+        pytest-enforced (tests/test_native.py)."""
+        if not native.available():
+            return None
+        lo = lo_idx.astype(np.int64)
+        hi = hi_idx.astype(np.int64)
+        single = []  # (qi, row, bucket, beam)
+        dbl = []  # (qi, row, bucket, win_lo, win_hi)
+        brute = []  # (qi, s, e)
+
+        beam_single = (
+            qp.beamSize
+            if self._leaf != "vamana"
+            else min(qp.beamSize * qp.final_beam_multiply, qp.postfiltering_max_beam)
+        )
+
+        def add_fenwick(sel, lo_s, hi_s, beam):
+            if not len(sel):
+                return True
+            plan = native.plan_fenwick_batch(self._offsets, self._split, lo_s, hi_s)
+            if plan is None:
+                return False  # cap overflow -> Python fallback
+            self._fenwick_tasks(plan, sel, beam, lo_s, hi_s, single, brute)
+            return True
+
+        def add_optimized(sel, lo_s, hi_s, win_hi):
+            """Optimized-postfilter routing over side ranges [lo_s, hi_s);
+            doubling windows use win_hi (inclusive-top extension)."""
+            if not len(sel):
+                return True
+            plan = native.plan_optimized_batch(
+                self._offsets, self._split, self._cutoff,
+                qp.min_query_to_bucket_ratio, lo_s, hi_s,
+            )
+            if plan is None:
+                return False
+            kind, row, idx = plan
+            is_b = kind == 1
+            dbl.append(
+                (sel[is_b], row[is_b].astype(np.int64), idx[is_b],
+                 lo_s[is_b], win_hi[is_b])
+            )
+            return add_fenwick(sel[~is_b], lo_s[~is_b], hi_s[~is_b], beam_single)
+
+        act = np.nonzero(hi > lo)[0]
+        if query_method == "optimized_postfilter":
+            ok = add_optimized(act, lo[act], hi[act], hi_incl.astype(np.int64)[act])
+        elif query_method == "three_split":
+            centers = native.plan_center_batch(self._offsets, lo[act], hi[act])
+            if centers is None:
+                return None
+            found, c_row, c_first, c_last, c_lo, c_hi = centers
+            # no center -> fenwick with final_beam_multiply forced to 1
+            nf = act[~found]
+            ok = add_fenwick(nf, lo[nf], hi[nf], qp.beamSize)
+            f_sel = act[found]
+            runs = (c_last - c_first)[found]
+            qi_rep = np.repeat(f_sel, runs)
+            rows_rep = np.repeat(c_row[found].astype(np.int64), runs)
+            idx_rep = (
+                np.concatenate(
+                    [np.arange(f, l, dtype=np.int64)
+                     for f, l in zip(c_first[found], c_last[found])]
+                )
+                if len(f_sel)
+                else np.zeros(0, dtype=np.int64)
+            )
+            if self._leaf == "vamana":
+                single.append(
+                    (qi_rep, rows_rep, idx_rep,
+                     np.full(len(qi_rep), qp.beamSize, dtype=np.int64))
+                )  # fm forced to 1 (ref: :490-511)
+            else:
+                self._buckets_as_windows(qi_rep, rows_rep, idx_rep, brute)
+            # one optimized-postfilter call per uncovered side (ref: :513-528)
+            cover_lo, cover_hi = c_lo[found], c_hi[found]
+            l_m = cover_lo > lo[f_sel]
+            left = f_sel[l_m]
+            ok = ok and add_optimized(left, lo[left], cover_lo[l_m], cover_lo[l_m])
+            r_m = hi[f_sel] > cover_hi
+            right = f_sel[r_m]
+            ok = ok and add_optimized(right, cover_hi[r_m], hi[right], hi[right])
+        else:  # "fenwick" and anything unrecognized (ref dispatch :76-81)
+            ok = add_fenwick(act, lo[act], hi[act], beam_single)
+        if not ok:
+            return None
+
+        def cat(parts, width):
+            cols = []
+            for i in range(width):
+                chunks = [p[i] for p in parts if len(p[0])]
+                cols.append(
+                    np.concatenate(chunks).astype(np.int64)
+                    if chunks else np.zeros(0, dtype=np.int64)
+                )
+            return tuple(cols)
+
+        return cat(single, 4), cat(dbl, 5), cat(brute, 3)
+
     # ----------------------------------------------------------------- search
+    def _plan_batch_python(self, query_method, lo_idx, hi_idx, hi_incl, qp,
+                           num_queries):
+        """Pure-Python per-query planner (fallback + parity oracle for the
+        native planner). Returns the same flat task arrays."""
+        single_tasks, single_beams = [], []
+        dbl_tasks, dbl_wins = [], []
+        brute_tasks = []  # (qi, s, e)
+
+        def emit_fenwick(qi, lo, hi, fm_forced_one=False):
+            buckets, fringe = self._plan_fenwick(lo, hi)
+            if self._leaf == "vamana":
+                beam_eff = qp.beamSize if fm_forced_one else min(
+                    qp.beamSize * qp.final_beam_multiply, qp.postfiltering_max_beam
+                )
+                for (r, b) in buckets:
+                    single_tasks.append((qi, r, b))
+                    single_beams.append(beam_eff)
+            else:  # prefilter leaves: bucket searches are exact windows
+                for (r, b) in buckets:
+                    brute_tasks.append(
+                        (qi, int(self._offsets[r][b]), int(self._offsets[r][b + 1]))
+                    )
+            for (s, e) in fringe:
+                if e > s:
+                    brute_tasks.append((qi, s, e))
+
+        def emit_optimized(qi, lo, hi, win_hi=None):
+            kind, where = self._plan_optimized(lo, hi, qp)
+            if kind == "fenwick":
+                emit_fenwick(qi, lo, hi)
+            else:
+                r, b = where
+                dbl_tasks.append((qi, r, b))
+                dbl_wins.append((lo, win_hi if win_hi is not None else hi))
+
+        for qi in range(num_queries):
+            lo, hi = int(lo_idx[qi]), int(hi_idx[qi])
+            if hi <= lo:  # empty range (ref: check_empty, :191-203)
+                continue
+            if query_method == "optimized_postfilter":
+                emit_optimized(qi, lo, hi, win_hi=int(hi_incl[qi]))
+            elif query_method == "three_split":
+                center = self._find_largest_ranges(lo, hi)
+                if center is None:
+                    emit_fenwick(qi, lo, hi, fm_forced_one=True)
+                    continue
+                row, first_idx, last_idx, cover_lo, cover_hi = center
+                if self._leaf == "vamana":
+                    for b in range(first_idx, last_idx):
+                        single_tasks.append((qi, row, b))
+                        single_beams.append(qp.beamSize)  # fm forced to 1
+                else:
+                    for b in range(first_idx, last_idx):
+                        brute_tasks.append(
+                            (qi, int(self._offsets[row][b]),
+                             int(self._offsets[row][b + 1]))
+                        )
+                if cover_lo > lo:
+                    emit_optimized(qi, lo, cover_lo)
+                if hi > cover_hi:
+                    emit_optimized(qi, cover_hi, hi)
+            else:  # "fenwick" and anything unrecognized (ref dispatch :76-81)
+                emit_fenwick(qi, lo, hi)
+
+        def arr(rows_of, width):
+            if not rows_of:
+                return tuple(np.zeros(0, dtype=np.int64) for _ in range(width))
+            a = np.asarray(rows_of, dtype=np.int64)
+            return tuple(a[:, i] for i in range(width))
+
+        s_qi, s_row, s_bkt = arr(single_tasks, 3)
+        d_qi, d_row, d_bkt = arr(dbl_tasks, 3)
+        d_lo, d_hi = arr(dbl_wins, 2)
+        b_qi, b_s, b_e = arr(brute_tasks, 3)
+        return (
+            (s_qi, s_row, s_bkt, np.asarray(single_beams, dtype=np.int64)),
+            (d_qi, d_row, d_bkt, d_lo, d_hi),
+            (b_qi, b_s, b_e),
+        )
+
     def batch_search(
         self,
         queries: np.ndarray,
@@ -337,107 +545,53 @@ class RangeFilterTreeIndex:
         # for planning — extend doubling windows to include hi-label ties
         hi_incl = np.searchsorted(self._labels_sorted, filters[:, 1], side="right")
 
-        # per-query plans -> flat task lists
-        single_tasks, single_beams = [], []
-        dbl_tasks, dbl_wins = [], []
-        brute_tasks = []  # (qi, s, e)
-        per_query_parts: List[List[Tuple[str, int]]] = [[] for _ in range(num_queries)]
-
-        def emit_fenwick(qi, lo, hi, fm_forced_one=False):
-            buckets, fringe = self._plan_fenwick(lo, hi)
-            if self._leaf == "vamana":
-                beam_eff = qp.beamSize if fm_forced_one else min(
-                    qp.beamSize * qp.final_beam_multiply, qp.postfiltering_max_beam
-                )
-                for (r, b) in buckets:
-                    per_query_parts[qi].append(("single", len(single_tasks)))
-                    single_tasks.append((qi, r, b))
-                    single_beams.append(beam_eff)
-            else:  # prefilter leaves: bucket searches are exact windows
-                for (r, b) in buckets:
-                    per_query_parts[qi].append(("brute", len(brute_tasks)))
-                    brute_tasks.append(
-                        (qi, int(self._offsets[r][b]), int(self._offsets[r][b + 1]))
-                    )
-            for (s, e) in fringe:
-                if e > s:
-                    per_query_parts[qi].append(("brute", len(brute_tasks)))
-                    brute_tasks.append((qi, s, e))
-
-        def emit_optimized(qi, lo, hi, win_hi=None):
-            kind, where = self._plan_optimized(lo, hi, qp)
-            if kind == "fenwick":
-                emit_fenwick(qi, lo, hi)
-            else:
-                r, b = where
-                per_query_parts[qi].append(("dbl", len(dbl_tasks)))
-                dbl_tasks.append((qi, r, b))
-                dbl_wins.append((lo, win_hi if win_hi is not None else hi))
-
-        for qi in range(num_queries):
-            lo, hi = int(lo_idx[qi]), int(hi_idx[qi])
-            if hi <= lo:  # empty range (ref: check_empty, :191-203)
-                continue
-            if query_method == "optimized_postfilter":
-                emit_optimized(qi, lo, hi, win_hi=int(hi_incl[qi]))
-            elif query_method == "three_split":
-                center = self._find_largest_ranges(lo, hi)
-                if center is None:
-                    emit_fenwick(qi, lo, hi, fm_forced_one=True)
-                    continue
-                row, first_idx, last_idx, cover_lo, cover_hi = center
-                if self._leaf == "vamana":
-                    for b in range(first_idx, last_idx):
-                        per_query_parts[qi].append(("single", len(single_tasks)))
-                        single_tasks.append((qi, row, b))
-                        single_beams.append(qp.beamSize)  # fm forced to 1
-                else:
-                    for b in range(first_idx, last_idx):
-                        per_query_parts[qi].append(("brute", len(brute_tasks)))
-                        brute_tasks.append(
-                            (qi, int(self._offsets[row][b]), int(self._offsets[row][b + 1]))
-                        )
-                if cover_lo > lo:
-                    emit_optimized(qi, lo, cover_lo)
-                if hi > cover_hi:
-                    emit_optimized(qi, cover_hi, hi)
-            else:  # "fenwick" and anything unrecognized (ref dispatch :76-81)
-                emit_fenwick(qi, lo, hi)
+        plan = self._plan_batch_native(query_method, lo_idx, hi_idx, hi_incl, qp)
+        if plan is None:
+            plan = self._plan_batch_python(
+                query_method, lo_idx, hi_idx, hi_incl, qp, num_queries
+            )
+        (s_qi, s_row, s_bkt, s_beam), (d_qi, d_row, d_bkt, d_wlo, d_whi), \
+            (b_qi, b_s, b_e) = plan
 
         # ---- execute the three phases as dense batches ----
-        s_i, s_d = self._run_single_shot(
-            single_tasks, qpad, q_norms, np.array(single_beams, dtype=np.int64), k
-        ) if single_tasks else (None, None)
-        d_i, d_d = self._run_doubling(dbl_tasks, qpad, q_norms, dbl_wins, qp)
-        if brute_tasks:
-            b_qis = np.array([t[0] for t in brute_tasks])
-            b_s = np.array([t[1] for t in brute_tasks], dtype=np.int64)
-            b_e = np.array([t[2] for t in brute_tasks], dtype=np.int64)
+        s_i, s_d = self._run_single_shot(s_qi, s_row, s_bkt, s_beam, qpad, k)
+        d_i, d_d = self._run_doubling(
+            d_qi, d_row, d_bkt, d_wlo, d_whi, qpad, q_norms, qp
+        )
+        if len(b_qi):
             b_d, b_i = batched_range_bruteforce(
-                self._ps.data, self._ps.norms_sq, qpad[b_qis], b_s, b_e, k,
+                self._ps.data, self._ps.norms_sq, qpad[b_qi], b_s, b_e, k,
                 self._ps.metric,
             )
+        else:
+            b_i = np.zeros((0, k), dtype=np.int64)
+            b_d = np.zeros((0, k), dtype=np.float32)
 
-        # ---- per-query merge: top-k across parts ----
-        out_i = np.full((num_queries, k), int(EMPTY_ID), dtype=np.int64)
-        out_d = np.full((num_queries, k), np.inf, dtype=np.float32)
-        for qi in range(num_queries):
-            parts = per_query_parts[qi]
-            if not parts:
-                continue
-            ids_list, d_list = [], []
-            for kind, t in parts:
-                if kind == "single":
-                    ids_list.append(s_i[t]); d_list.append(s_d[t])
-                elif kind == "dbl":
-                    ids_list.append(d_i[t]); d_list.append(d_d[t])
-                else:
-                    ids_list.append(b_i[t]); d_list.append(b_d[t])
-            ids_all = np.concatenate(ids_list)
-            d_all = np.concatenate(d_list)
-            order = np.lexsort((ids_all, d_all))[:k]
-            out_i[qi, : len(order)] = ids_all[order]
-            out_d[qi, : len(order)] = d_all[order]
+        # ---- per-query merge: top-k across parts (disjoint, so no dedup;
+        # ref: range_filter_tree.h:399,542-549) ----
+        part_ids = np.concatenate([s_i, d_i, np.asarray(b_i, dtype=np.int64)])
+        part_d = np.concatenate([s_d, d_d, np.asarray(b_d, dtype=np.float32)])
+        part_qi = np.concatenate([s_qi, d_qi, b_qi]).astype(np.int32)
+        merged = native.merge_topk_parts(
+            part_ids, part_d, part_qi, num_queries, int(EMPTY_ID)
+        ) if len(part_qi) else None
+        if merged is not None:
+            out_i, out_d = merged
+            out_d = out_d.astype(np.float32)
+        else:
+            out_i = np.full((num_queries, k), int(EMPTY_ID), dtype=np.int64)
+            out_d = np.full((num_queries, k), np.inf, dtype=np.float32)
+            if len(part_qi):
+                qi_rep = np.repeat(part_qi, k)
+                flat_i = part_ids.reshape(-1)
+                flat_dd = part_d.reshape(-1)
+                order = np.lexsort((flat_i, flat_dd, qi_rep))
+                qs = qi_rep[order]
+                starts = np.searchsorted(qs, np.arange(num_queries))
+                rank = np.arange(len(qs)) - starts[qs]
+                take = rank < k
+                out_i[qs[take], rank[take]] = flat_i[order][take]
+                out_d[qs[take], rank[take]] = flat_dd[order][take]
 
         return finalize_output(
             out_d, out_i, self._decoding, q_norms, self._ps.metric, pad_id=0

@@ -25,6 +25,7 @@ from typing import List, Optional, Sequence, Tuple
 import jax.numpy as jnp
 import numpy as np
 
+from .. import native
 from ..ops.topk import EMPTY_ID
 from ..params import (
     DEFAULT_CUTOFF,
@@ -164,11 +165,17 @@ class SuperOptimizedPostfilterTree:
 
         rows = np.full(num_queries, -1, dtype=np.int64)
         buckets = np.zeros(num_queries, dtype=np.int64)
-        for qi in range(num_queries):
-            lo, hi = int(lo_idx[qi]), int(hi_idx[qi])
-            if hi <= lo:
-                continue  # empty range
-            rows[qi], buckets[qi] = self._route(lo, hi)
+        act = np.nonzero(hi_idx > lo_idx)[0]  # empty ranges stay routed to -1
+        routed = native.route_super_batch(
+            self._rows, self._ps.n,
+            lo_idx[act].astype(np.int64), hi_idx[act].astype(np.int64),
+        ) if len(act) else None
+        if routed is not None:
+            rows[act] = routed[0]
+            buckets[act] = routed[1]
+        else:  # Python fallback (parity-tested against the native router)
+            for qi in act:
+                rows[qi], buckets[qi] = self._route(int(lo_idx[qi]), int(hi_idx[qi]))
 
         out_i = np.full((num_queries, k), int(EMPTY_ID), dtype=np.int64)
         out_d = np.full((num_queries, k), np.inf, dtype=np.float32)

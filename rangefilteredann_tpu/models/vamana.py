@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.beam_search import batched_beam_search
+from ..ops.beam_search import batched_beam_search, default_expand
 from ..ops.robust_prune import robust_prune
 from ..ops.distances import gathered_distances
 from ..ops.topk import EMPTY_ID
@@ -172,6 +172,7 @@ def build_vamana_graph(
             beam=L, k=0, cut=jnp.float32(1.0), limit=jnp.int32(m_slab),
             metric=metric, active_in=jnp.asarray(act_p), exclude=ins_dev,
             return_visited=True, visited_cap=v_cap,
+            expand=default_expand(L),
         )
         visited = np.asarray(res.visited_ids)[:mb]
         visited = np.where(visited == int(EMPTY_ID), -1, visited).astype(np.int32)

@@ -36,6 +36,10 @@ def read_vector_file(path: str, dtype="float") -> np.ndarray:
 
 def write_graph_file(path: str, nbrs: np.ndarray) -> None:
     """nbrs: [n, R] int32, -1 padded with valid edges packed first."""
+    from .. import native
+
+    if native.available() and native.write_graph_padded(path, nbrs):
+        return
     n, max_deg = nbrs.shape
     degrees = (nbrs >= 0).sum(axis=1).astype(np.uint32)
     with open(path, "wb") as f:
@@ -47,6 +51,12 @@ def write_graph_file(path: str, nbrs: np.ndarray) -> None:
 
 def read_graph_file(path: str) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (nbrs [n, max_deg] int32 -1-padded, degrees [n] int32)."""
+    from .. import native
+
+    if native.available():
+        nbrs = native.read_graph_padded(path)
+        if nbrs is not None:
+            return nbrs, (nbrs >= 0).sum(axis=1).astype(np.int32)
     with open(path, "rb") as f:
         n, max_deg = np.fromfile(f, dtype=np.uint32, count=2)
         n, max_deg = int(n), int(max_deg)

@@ -132,3 +132,60 @@ def test_inactive_and_exclude(rng):
         exclude=jnp.full(4, 7, jnp.int32),
     )
     assert not (np.asarray(res2.frontier_ids) == 7).any()
+
+
+def multi_expand_oracle(qv, nbrs, pts, start, beam, E, limit=10_000):
+    """Batch-synchronous multi-expansion beam search: each step pops the E
+    nearest unexplored frontier nodes, gathers all their neighbors, drops
+    candidates not beating the pre-step cutoff, then merge+dedup+truncate.
+    The kernel's expand>1 mode must match this exactly."""
+
+    def dist(i):
+        d = pts[i] - qv
+        return float(np.dot(d, d))
+
+    frontier = [(dist(start), start)]
+    explored = set()
+    nv = 0
+    while nv < limit:
+        unex = [e for e in frontier if e[1] not in explored]
+        if not unex:
+            break
+        cur = unex[:E]
+        explored.update(i for _, i in cur)
+        nv += len(cur)
+        cutoff = frontier[beam - 1][0] if len(frontier) >= beam else np.inf
+        cand, cset = [], set()
+        for _, c in cur:
+            for nb in nbrs[c]:
+                if nb < 0 or nb in cset:
+                    continue
+                cset.add(nb)
+                dd = dist(nb)
+                if dd < cutoff:
+                    cand.append((dd, nb))
+        merged = {}
+        for d, i in frontier + cand:
+            if i not in merged or d < merged[i]:
+                merged[i] = d
+        frontier = sorted((d, i) for i, d in merged.items())[:beam]
+    return frontier, nv
+
+
+@pytest.mark.parametrize("expand", [2, 4])
+def test_multi_expand_matches_oracle(rng, expand):
+    points, nbrs, ps, s2g = setup(rng, n=400)
+    nq, beam = 24, 16
+    queries = rng.normal(size=(nq, 16)).astype(np.float32)
+    qp = jnp.asarray(pad_queries(queries, 16, ps.d_pad))
+    res = batched_beam_search(
+        ps.data, ps.norms_sq, jnp.asarray(nbrs), s2g, qp,
+        jnp.zeros(nq, jnp.int32), beam=beam, k=0, cut=jnp.float32(10.0),
+        limit=jnp.int32(10_000), metric="l2", expand=expand,
+    )
+    for qi in range(nq):
+        want, nv = multi_expand_oracle(queries[qi], nbrs, points, 0, beam, expand)
+        got = np.asarray(res.frontier_ids[qi])
+        want_ids = np.array([i for _, i in want])
+        assert (got[: len(want_ids)] == want_ids).all(), f"q{qi}"
+        assert int(res.num_visited[qi]) == nv

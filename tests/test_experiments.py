@@ -1,0 +1,77 @@
+"""Experiment-layer parity: dataset protocol files, runners, analyses."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from rangefilteredann_tpu.experiments import datasets as ds
+from rangefilteredann_tpu.experiments.arrangements import arrangement_cost
+
+
+def test_query_filter_ranges_follow_distribution():
+    rng = np.random.default_rng(0)
+    fv = rng.uniform(size=5000)
+    ranges = ds.generate_random_query_filter_ranges(fv, 2.0**-4, 50, rng)
+    fvs = np.sort(fv)
+    for lo, hi in ranges:
+        inside = int(np.searchsorted(fvs, hi, "right") - np.searchsorted(fvs, lo))
+        # width targets fraction*n points, jittered into neighbor gaps
+        assert abs(inside - int(5000 * 2.0**-4)) <= 2
+
+
+def test_full_range_fraction_one():
+    rng = np.random.default_rng(0)
+    fv = rng.uniform(size=100)
+    ranges = ds.generate_random_query_filter_ranges(fv, 1, 5, rng)
+    assert (ranges[:, 0] < fv.min()).all() and (ranges[:, 1] > fv.max()).all()
+
+
+def test_synthetic_roundtrip(tmp_path):
+    out = str(tmp_path)
+    ds.generate_synthetic(out, "synthetic-16-euclidean", n=3000, d=16, nq=20)
+    data, queries, fv, metric = ds.initialize_dataset(
+        "synthetic-16-euclidean", out
+    )
+    assert data.shape == (3000, 16) and queries.shape == (20, 16)
+    assert metric == "Euclidian"
+    ranges, gt = ds.get_queries_and_gt("synthetic-16-euclidean", "2pow-2", out)
+    assert ranges.shape == (20, 2) and gt.shape == (20, 10)
+    # GT really is the filtered exact top-10
+    for qi in range(5):
+        lo, hi = ranges[qi]
+        cand = np.nonzero((fv >= lo) & (fv <= hi))[0]
+        d = ((data[cand] - queries[qi]) ** 2).sum(1)
+        want = set(cand[np.argsort(d)[:10]].tolist())
+        assert len(want & set(gt[qi].tolist())) >= 9  # fp tie tolerance
+
+
+def test_adversarial_generation(tmp_path):
+    out = str(tmp_path)
+    ds.generate_adversarial(out, n=5000, n_clusters=10, d=16, nq=50)
+    data = np.load(os.path.join(out, "adversarial-100-angular.npy"))
+    fv = np.load(os.path.join(out, "adversarial-100-angular_filter-values.npy"))
+    ranges = np.load(
+        os.path.join(out, "adversarial-100-angular_queries_ranges.npy")
+    )
+    assert np.allclose(np.linalg.norm(data, axis=1), 1, atol=1e-5)
+    # each range spans exactly one cluster's label window
+    assert ((ranges[:, 1] - ranges[:, 0]) == 1.0).all()
+    assert fv.min() >= 0 and fv.max() < 10
+
+
+def test_arrangement_cost_monotone_memory():
+    # higher shift => less overlap => less memory
+    m1, _ = arrangement_cost(100_000, 1000, 2.0, 0.25)
+    m2, _ = arrangement_cost(100_000, 1000, 2.0, 0.75)
+    assert m1 > m2 > 1.0
+
+
+def test_baseline_runners_skip_cleanly(capsys):
+    from rangefilteredann_tpu.experiments import run_milvus, run_msvbase
+
+    run_milvus.run("nonexistent-dataset", "HNSW", host="127.0.0.1", port=1)
+    run_msvbase.run("nonexistent-dataset", host="127.0.0.1", port=1)
+    out = capsys.readouterr().out
+    assert "skipping" in out

@@ -1,0 +1,35 @@
+"""Pallas kernels vs their XLA reference paths (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rangefilteredann_tpu.ops.bruteforce import scan_bruteforce
+from rangefilteredann_tpu.ops.pallas_scan import pallas_scan_bruteforce
+from rangefilteredann_tpu.utils.data import make_pointset, pad_queries
+
+
+@pytest.mark.parametrize("metric", ["l2", "mips"])
+def test_pallas_scan_matches_xla(rng, metric):
+    n, d, nq, k = 1300, 24, 64, 10  # n not a tile multiple on purpose
+    points = rng.normal(size=(n, d)).astype(np.float32)
+    ps = make_pointset(points, metric)
+    queries = rng.normal(size=(nq, d)).astype(np.float32)
+    qp = jnp.asarray(pad_queries(queries, d, ps.d_pad))
+    starts = rng.integers(0, n, size=nq).astype(np.int32)
+    widths = rng.integers(0, n, size=nq)
+    ends = np.minimum(starts + widths, n).astype(np.int32)
+    ends[:4] = starts[:4]  # a few empty windows
+
+    want_d, want_i = scan_bruteforce(
+        ps.data, ps.norms_sq, qp, jnp.asarray(starts), jnp.asarray(ends),
+        k=k, metric=metric,
+    )
+    got_d, got_i = pallas_scan_bruteforce(
+        ps.data, ps.norms_sq, qp, jnp.asarray(starts), jnp.asarray(ends),
+        k=k, metric=metric, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_allclose(
+        np.asarray(got_d), np.asarray(want_d), rtol=1e-5, atol=1e-4
+    )

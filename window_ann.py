@@ -12,7 +12,27 @@ from rangefilteredann_tpu.params import (  # noqa: F401
     QueryParams,
     build_query_params,
 )
+from rangefilteredann_tpu.filters import (  # noqa: F401
+    FilteredDataset,
+    QueryFilter,
+    csr_filters,
+)
 from rangefilteredann_tpu import wrapper as _w
+
+__version__ = "dev"
+
+
+class _Defaults:
+    """`window_ann.defaults` submodule equivalent
+    (ref: python_bindings/python_bindings.cpp:169-174)."""
+
+    METRIC = "Euclidian"
+    ALPHA = 1.2
+    GRAPH_DEGREE = 64
+    BEAMWIDTH = 128
+
+
+defaults = _Defaults()
 
 _VARIANTS = [
     ("Float", "float", "Euclidian", "Euclidian"),
