@@ -72,7 +72,7 @@ def _run_beam_batch(
         cut=jnp.float32(1.35), limit=jnp.int32(qp_limit), metric=metric,
         active_in=jnp.asarray(act), expand=default_expand(int(beam)),
     )
-    return res.frontier_ids, res.frontier_dists
+    return res
 
 
 def doubling_postfilter(
@@ -85,6 +85,8 @@ def doubling_postfilter(
     win_hi: np.ndarray,  # [Q] (exclusive end)
     qp: QueryParams,
     metric: str,
+    stats=None,  # optional QueryStats; counters accumulate per source query
+    stat_ids: Optional[np.ndarray] = None,  # [Q] source-query ids for stats
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Batched beam-doubling postfilter query (ref: postfilter_vamana.h:141-188).
 
@@ -101,11 +103,17 @@ def doubling_postfilter(
     while not done.all():
         for b in np.unique(cur_beam[~done]):
             sel = np.nonzero(~done & (cur_beam == b))[0]
-            fi, fd = _run_beam_batch(
+            res = _run_beam_batch(
                 ps, graph, queries_padded[sel], q_norms[sel], starts[sel],
                 b, qp.limit, metric,
             )
-            counts, ti, td = _filter_topk(fi, fd, graph, win_lo[sel], win_hi[sel], k)
+            if stats is not None:
+                ids_for = stat_ids[sel] if stat_ids is not None else sel
+                stats.add_beam_result(ids_for, res)
+            counts, ti, td = _filter_topk(
+                res.frontier_ids, res.frontier_dists, graph,
+                win_lo[sel], win_hi[sel], k,
+            )
             res_i[sel], res_d[sel] = ti, td
             enough = counts >= k
             done[sel[enough]] = True
@@ -117,11 +125,17 @@ def doubling_postfilter(
     needs_final = final_beam > cur_beam
     for b in np.unique(final_beam[needs_final]):
         sel = np.nonzero(needs_final & (final_beam == b))[0]
-        fi, fd = _run_beam_batch(
+        res = _run_beam_batch(
             ps, graph, queries_padded[sel], q_norms[sel], starts[sel],
             b, qp.limit, metric,
         )
-        _, ti, td = _filter_topk(fi, fd, graph, win_lo[sel], win_hi[sel], k)
+        if stats is not None:
+            ids_for = stat_ids[sel] if stat_ids is not None else sel
+            stats.add_beam_result(ids_for, res)
+        _, ti, td = _filter_topk(
+            res.frontier_ids, res.frontier_dists, graph,
+            win_lo[sel], win_hi[sel], k,
+        )
         res_i[sel], res_d[sel] = ti, td
     return res_i, res_d
 
@@ -186,6 +200,7 @@ class PostfilterVamanaIndex:
         filters: Sequence[Tuple[float, float]],
         num_queries: int,
         query_params: QueryParams,
+        stats=None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         queries = np.asarray(queries, dtype=np.float32)[:num_queries]
         filters = np.asarray(filters, dtype=np.float64)[:num_queries]
@@ -201,7 +216,7 @@ class PostfilterVamanaIndex:
         starts = np.zeros(num_queries, dtype=np.int32)  # search starts at vertex 0
         ids, dists = doubling_postfilter(
             self._ps, self._graph, qp_pad, q_norms, starts,
-            win_lo, win_hi, query_params, self._ps.metric,
+            win_lo, win_hi, query_params, self._ps.metric, stats=stats,
         )
         return finalize_output(
             dists, ids, self._decoding, q_norms, self._ps.metric, pad_id=-1

@@ -245,7 +245,8 @@ class RangeFilterTreeIndex:
         return ("bucket", (row, idx))
 
     # -------------------------------------------------------------- execution
-    def _run_single_shot(self, qis, rows, buckets, beams, queries_padded, k):
+    def _run_single_shot(self, qis, rows, buckets, beams, queries_padded, k,
+                         stats=None):
         """Dense batched single-shot bucket searches, grouped by (row, beam).
 
         Single-shot is the collapsed form of the leaf doubling query when the
@@ -279,6 +280,8 @@ class RangeFilterTreeIndex:
                     limit=jnp.int32(10_000_000), metric=self._ps.metric,
                     active_in=jnp.asarray(act), expand=default_expand(int(beam)),
                 )
+                if stats is not None:
+                    stats.add_beam_result(qis[sel], res)
                 fi = np.asarray(res.frontier_ids)[: len(sel), :k]
                 fd = np.asarray(res.frontier_dists)[: len(sel), :k]
                 valid = fi != int(EMPTY_ID)
@@ -287,7 +290,7 @@ class RangeFilterTreeIndex:
         return out_i, out_d
 
     def _run_doubling(self, qis, rows, buckets, win_lo, win_hi,
-                      queries_padded, q_norms, qp):
+                      queries_padded, q_norms, qp, stats=None):
         """Beam-doubling bucket tasks grouped by row."""
         t_count = len(qis)
         k = qp.k
@@ -303,6 +306,7 @@ class RangeFilterTreeIndex:
             ids, dists = doubling_postfilter(
                 self._ps, g, queries_padded[qis[sel]], q_norms[qis[sel]],
                 starts, win_lo[sel], win_hi[sel], qp, self._ps.metric,
+                stats=stats, stat_ids=qis[sel],
             )
             out_i[sel], out_d[sel] = ids, dists
         return out_i, out_d
@@ -531,6 +535,7 @@ class RangeFilterTreeIndex:
         num_queries: int,
         query_method: str = "fenwick",
         query_params: Optional[QueryParams] = None,
+        stats=None,  # optional utils.stats.QueryStats (ref: utils/stats.h role)
     ) -> Tuple[np.ndarray, np.ndarray]:
         qp = query_params
         queries = np.asarray(queries, dtype=np.float32)[:num_queries]
@@ -554,9 +559,11 @@ class RangeFilterTreeIndex:
             (b_qi, b_s, b_e) = plan
 
         # ---- execute the three phases as dense batches ----
-        s_i, s_d = self._run_single_shot(s_qi, s_row, s_bkt, s_beam, qpad, k)
+        s_i, s_d = self._run_single_shot(
+            s_qi, s_row, s_bkt, s_beam, qpad, k, stats=stats
+        )
         d_i, d_d = self._run_doubling(
-            d_qi, d_row, d_bkt, d_wlo, d_whi, qpad, q_norms, qp
+            d_qi, d_row, d_bkt, d_wlo, d_whi, qpad, q_norms, qp, stats=stats
         )
         if len(b_qi):
             b_d, b_i = batched_range_bruteforce(

@@ -152,6 +152,7 @@ class SuperOptimizedPostfilterTree:
         filters: Sequence[Tuple[float, float]],
         num_queries: int,
         query_params: QueryParams = None,
+        stats=None,  # optional utils.stats.QueryStats
     ) -> Tuple[np.ndarray, np.ndarray]:
         qp = query_params
         queries = np.asarray(queries, dtype=np.float32)[:num_queries]
@@ -186,7 +187,7 @@ class SuperOptimizedPostfilterTree:
             ids, dists = doubling_postfilter(
                 self._ps, g, qpad[sel], q_norms[sel], starts,
                 lo_idx[sel].astype(np.int64), hi_incl[sel].astype(np.int64),
-                qp, self._ps.metric,
+                qp, self._ps.metric, stats=stats, stat_ids=sel,
             )
             out_i[sel], out_d[sel] = ids, dists
 

@@ -40,6 +40,30 @@ from .base import next_pow2
 PRUNE_CHUNK = 2048  # rows per robust_prune launch (bounds the [m, C, d] gather)
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_rows(nbrs_dev, rows, vals):
+    """In-place row update of the device adjacency (donated buffer — no copy,
+    no host->device re-upload of the full [m, R] array per insert batch)."""
+    return nbrs_dev.at[rows].set(vals, mode="drop")
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_edges(nbrs_dev, rows, cols, vals):
+    """In-place single-edge appends nbrs[rows, cols] = vals (drop on pad)."""
+    return nbrs_dev.at[rows, cols].set(vals, mode="drop")
+
+
+def _pad_pow2(arr, pad_value, width=None):
+    """Pad dim 0 to the next pow2 (>= 64) so scatter shapes stay canonical."""
+    m = next_pow2(max(len(arr), 64))
+    if width is None:
+        out = np.full((m,), pad_value, dtype=arr.dtype)
+    else:
+        out = np.full((m, width), pad_value, dtype=arr.dtype)
+    out[: len(arr)] = arr
+    return out
+
+
 @dataclasses.dataclass
 class SlabGraph:
     """Device adjacency + host mirror for one graph slab."""
@@ -180,9 +204,16 @@ def build_vamana_graph(
         # 2) RobustPrune the visited lists -> new out-edges (device)
         new_out, new_d = _prune_batched(ps, s2g_dev, inserts, visited, alpha, R, metric)
 
-        # 3) set out-edges of the inserted nodes
+        # 3) set out-edges of the inserted nodes — host mirror for the
+        #    bookkeeping below, plus an in-place device scatter (donated
+        #    buffer) instead of re-uploading the whole [m, R] adjacency
         g.nbrs_host[inserts] = new_out
         g.degrees[inserts] = (new_out >= 0).sum(axis=1)
+        g.nbrs_dev = _scatter_rows(
+            g.nbrs_dev,
+            jnp.asarray(_pad_pow2(inserts.astype(np.int32), m_slab)),
+            jnp.asarray(_pad_pow2(new_out, -1, R)),
+        )
 
         # 4) reverse edges grouped by target (host bookkeeping,
         #    ref: index.h:279-306)
@@ -203,6 +234,12 @@ def build_vamana_graph(
             cols = g.degrees[rows] + rank[fits_e]
             g.nbrs_host[rows, cols] = u[fits_e]
             g.degrees[uniq_v[fits]] += counts[fits]
+            g.nbrs_dev = _scatter_edges(
+                g.nbrs_dev,
+                jnp.asarray(_pad_pow2(rows.astype(np.int32), m_slab)),
+                jnp.asarray(_pad_pow2(cols.astype(np.int32), 0)),
+                jnp.asarray(_pad_pow2(u[fits_e].astype(np.int32), -1)),
+            )
         # overfull: RobustPrune(old neighbors + reverse candidates) with user alpha
         over_v = uniq_v[~fits]
         if len(over_v):
@@ -216,8 +253,11 @@ def build_vamana_graph(
             pruned, _ = _prune_batched(ps, s2g_dev, over_v.astype(np.int32), cand, alpha, R, metric)
             g.nbrs_host[over_v] = pruned
             g.degrees[over_v] = (pruned >= 0).sum(axis=1)
-
-        g.sync_to_device()
+            g.nbrs_dev = _scatter_rows(
+                g.nbrs_dev,
+                jnp.asarray(_pad_pow2(over_v.astype(np.int32), m_slab)),
+                jnp.asarray(_pad_pow2(pruned, -1, R)),
+            )
         if verbose:
             print(f"  vamana step {t + 1}/{n_steps}: inserted {mb}, "
                   f"visited avg {np.asarray(res.num_visited)[:mb].mean():.1f}")

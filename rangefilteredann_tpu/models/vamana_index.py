@@ -14,7 +14,7 @@ from typing import Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.beam_search import batched_beam_search
+from ..ops.beam_search import batched_beam_search, default_expand
 from ..ops.topk import EMPTY_ID
 from ..params import BuildParams
 from ..utils import io as bin_io
@@ -108,6 +108,7 @@ class VamanaIndex:
             beam=int(beam_width), k=int(knn), cut=jnp.float32(1.35),
             limit=jnp.int32(ps.n), metric=ps.metric,
             active_in=jnp.asarray(act), q_norms_sq=jnp.asarray(qn),
+            expand=default_expand(int(beam_width)),
         )
         ids = np.asarray(res.frontier_ids)[:num_queries, :knn].astype(np.int64)
         dists = np.asarray(res.frontier_dists)[:num_queries, :knn]

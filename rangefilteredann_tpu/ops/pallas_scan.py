@@ -4,13 +4,20 @@ The hot op of exact prefiltering (ref: src/prefiltering.h:154-204) as ONE
 kernel: for each point tile, an MXU [Q, d] x [d, T] distance block, the
 per-query label-window column mask, and a running in-VMEM top-k — no [Q, n]
 distance matrix ever reaches HBM and no XLA sort/top_k launch happens per
-tile. The XLA fallback (ops/bruteforce.scan_bruteforce) materializes [Q, T]
-distances per tile and runs lax.top_k twice per tile; this kernel replaces
-both with k argmin-extraction rounds on the VPU while the next tile's DMA is
-in flight.
+tile.
 
-Exactness: identical results to the XLA path (same distance formulation, same
-(dist, id) tie order) — pytest-enforced in tests/test_pallas.py via
+Window-locality optimizations (points are label-sorted, so a query's window
+is one contiguous tile range):
+  * queries are sorted by window midpoint and processed in blocks of QBLOCK;
+    each block's grid walks only the block's UNION tile range, routed through
+    a PrefetchScalarGridSpec index map (steps past the block's range re-map
+    to the same tile, which Pallas dedups into no DMA and a predicated skip).
+  * a tile whose distances can't improve any query's current k-th best skips
+    the top-k merge entirely (the MXU block still runs; the VPU extraction —
+    the actual per-tile cost — does not).
+
+Exactness: identical results to the XLA path (same distance formulation,
+same (dist, id) tie order) — pytest-enforced in tests/test_pallas.py via
 interpret mode on CPU.
 """
 
@@ -24,11 +31,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..utils.data import METRIC_L2, METRIC_MIPS
+
 # plain Python int: jnp constants would be captured as tracer consts
 # inside the pallas kernel, which pallas_call rejects
 EMPTY_ID = 2**31 - 1
 
-TILE = 512  # points per grid step; [Q=2048, TILE] f32 dists = 4 MB of VMEM
+TILE = 512  # points per grid step
+QBLOCK = 256  # queries per grid step; [QBLOCK, TILE] f32 dists = 512 KB VMEM
 
 
 def _extract_topk(dists, ids, k):
@@ -50,38 +59,59 @@ def _extract_topk(dists, ids, k):
     return jnp.stack(out_d, axis=1), jnp.stack(out_i, axis=1)
 
 
-def _scan_kernel(starts_ref, ends_ref, q_ref, data_ref, norms_ref,
-                 out_d_ref, out_i_ref, *, k, metric, n_real):
-    t = pl.program_id(0)
+def _scan_kernel(blk_start_ref, blk_count_ref, starts_ref, ends_ref, q_ref,
+                 data_ref, norms_ref, out_d_ref, out_i_ref,
+                 *, k, metric, n_real):
+    # grid = (query_blocks, max_tiles); tiles iterate innermost so the
+    # running top-k in out_*_ref accumulates across tiles of one query block
+    b = pl.program_id(0)
+    t = pl.program_id(1)
 
     @pl.when(t == 0)
     def _():
         out_d_ref[:] = jnp.full(out_d_ref.shape, jnp.inf, out_d_ref.dtype)
         out_i_ref[:] = jnp.full(out_i_ref.shape, EMPTY_ID, out_i_ref.dtype)
 
-    ip = jnp.dot(
-        q_ref[:], data_ref[:].T, preferred_element_type=jnp.float32
-    )  # [Q, T] MXU block
-    if metric == METRIC_L2:
-        dist = norms_ref[:] - 2.0 * ip
-    else:  # MIPS
-        dist = -ip
-    q = dist.shape[0]
-    col = t * TILE + jax.lax.broadcasted_iota(jnp.int32, (q, TILE), 1)
-    valid = (
-        (col >= starts_ref[:])
-        & (col < ends_ref[:])
-        & (col < n_real)
-    )
-    dist = jnp.where(valid, dist, jnp.inf)
-    ids = jnp.where(valid, col, EMPTY_ID)
+    count = blk_count_ref[b]
 
-    tile_d, tile_i = _extract_topk(dist, ids, k)
-    comb_d = jnp.concatenate([out_d_ref[:], tile_d], axis=1)
-    comb_i = jnp.concatenate([out_i_ref[:], tile_i], axis=1)
-    best_d, best_i = _extract_topk(comb_d, comb_i, k)
-    out_d_ref[:] = best_d
-    out_i_ref[:] = best_i
+    @pl.when(t < count)
+    def _():
+        tile_idx = blk_start_ref[b] + t
+        # HIGHEST: fp32 dots otherwise run as one bf16 MXU pass, whose ~1e-3
+        # error reorders true neighbors (see ops/distances.MATMUL_PRECISION)
+        ip = jnp.dot(
+            q_ref[:], data_ref[:].T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [Q, T] MXU block
+        if metric == METRIC_L2:
+            dist = norms_ref[:] - 2.0 * ip
+        else:  # MIPS
+            dist = -ip
+        q = dist.shape[0]
+        col = tile_idx * TILE + jax.lax.broadcasted_iota(jnp.int32, (q, TILE), 1)
+        valid = (
+            (col >= starts_ref[:])
+            & (col < ends_ref[:])
+            & (col < n_real)
+        )
+        dist = jnp.where(valid, dist, jnp.inf)
+        worst = out_d_ref[:, k - 1]
+        # a finite tie at the k-th distance must still merge: the incoming id
+        # is larger (tiles scan upward) but intermediate ranks can shift
+        improving = jnp.any(
+            (dist < worst[:, None])
+            | ((dist == worst[:, None]) & (dist < jnp.inf))
+        )
+
+        @pl.when(improving)
+        def _():
+            ids = jnp.where(valid, col, EMPTY_ID)
+            tile_d, tile_i = _extract_topk(dist, ids, k)
+            comb_d = jnp.concatenate([out_d_ref[:], tile_d], axis=1)
+            comb_i = jnp.concatenate([out_i_ref[:], tile_i], axis=1)
+            best_d, best_i = _extract_topk(comb_d, comb_i, k)
+            out_d_ref[:] = best_d
+            out_i_ref[:] = best_i
 
 
 @functools.partial(
@@ -110,23 +140,55 @@ def pallas_scan_bruteforce(
         data = jnp.pad(data, ((0, pad), (0, 0)))
         norms_sq = jnp.pad(norms_sq, (0, pad))
 
-    grid_spec = pl.GridSpec(
-        grid=(n_tiles,),
+    starts = starts.astype(jnp.int32)
+    ends = ends.astype(jnp.int32)
+    # sort queries by window midpoint so each QBLOCK's union tile range is
+    # tight; results are unsorted at the end
+    order = jnp.argsort(starts + ends)
+    q_s = queries[order]
+    s_s = starts[order]
+    e_s = ends[order]
+
+    qb = min(q, QBLOCK)
+    n_qb = q // qb  # q is pow2-padded by callers, so this divides evenly
+    # per-block union tile range (empty windows contribute nothing)
+    sb = s_s.reshape(n_qb, qb)
+    eb = e_s.reshape(n_qb, qb)
+    nonempty = eb > sb
+    blk_lo = jnp.min(jnp.where(nonempty, sb, n), axis=1)
+    blk_hi = jnp.max(jnp.where(nonempty, eb, 0), axis=1)
+    blk_start = jnp.clip(blk_lo // TILE, 0, n_tiles - 1).astype(jnp.int32)
+    blk_end = jnp.clip(-(-blk_hi // TILE), 1, n_tiles).astype(jnp.int32)
+    blk_count = jnp.maximum(blk_end - blk_start, 1).astype(jnp.int32)
+
+    def tile_map(b, t, blk_start_ref, blk_count_ref):
+        # steps past the block's range re-read the last tile (no DMA, skipped)
+        idx = blk_start_ref[b] + jnp.minimum(t, blk_count_ref[b] - 1)
+        return (idx, 0)
+
+    def norms_map(b, t, blk_start_ref, blk_count_ref):
+        idx = blk_start_ref[b] + jnp.minimum(t, blk_count_ref[b] - 1)
+        return (0, idx)
+
+    def qrow_map(b, t, blk_start_ref, blk_count_ref):
+        return (b, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_qb, n_tiles),
         in_specs=[
-            pl.BlockSpec((q, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((q, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((q, d_pad), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, d_pad), lambda t: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qb, 1), qrow_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((qb, 1), qrow_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((qb, d_pad), qrow_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, d_pad), tile_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE), norms_map, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((q, k), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((q, k), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qb, k), qrow_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((qb, k), qrow_map, memory_space=pltpu.VMEM),
         ],
     )
-    kern = functools.partial(
-        _scan_kernel, k=k, metric=metric, n_real=n
-    )
+    kern = functools.partial(_scan_kernel, k=k, metric=metric, n_real=n)
     out_d, out_i = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -141,10 +203,8 @@ def pallas_scan_bruteforce(
             transcendentals=0,
         ),
     )(
-        starts.astype(jnp.int32)[:, None],
-        ends.astype(jnp.int32)[:, None],
-        queries,
-        data,
-        norms_sq[None, :],
+        blk_start, blk_count,
+        s_s[:, None], e_s[:, None], q_s, data, norms_sq[None, :],
     )
-    return out_d, out_i
+    inv = jnp.argsort(order)
+    return out_d[inv], out_i[inv]

@@ -71,7 +71,10 @@ def sharded_beam_search(
     jax.jit, static_argnames=("k", "metric", "mesh", "axis")
 )
 def _sharded_scan_impl(data_sh, norms_sh, queries, starts, ends, row_offset, k, metric, mesh, axis):
-    from jax.experimental.shard_map import shard_map
+    try:  # jax >= 0.8 moved shard_map out of experimental
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
 
     def local_scan(data_local, norms_local, queries, starts, ends, row_offset):
         # each device scans its own row-shard of the point store
@@ -94,7 +97,7 @@ def _sharded_scan_impl(data_sh, norms_sh, queries, starts, ends, row_offset, k, 
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(), P(), P(), P()),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,  # pre-0.8 jax called this check_rep
     )(data_sh, norms_sh, queries, starts, ends, row_offset)
 
 

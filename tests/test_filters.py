@@ -133,3 +133,29 @@ def test_stats():
     assert graph_stats(nbrs) == (1.5, 2)
     st.clear()
     assert st.visited_stats() == (0.0, 0.0)
+
+
+def test_stats_wiring():
+    """QueryStats accumulates real counters from an index search
+    (ref: stats.h incremented at beamSearch.h:273,308-309)."""
+    import numpy as np
+
+    from rangefilteredann_tpu import (
+        BuildParams, PostfilterVamanaIndex, QueryStats, build_query_params,
+    )
+
+    rng = np.random.default_rng(1)
+    n, d, nq = 2000, 16, 20
+    points = rng.normal(size=(n, d)).astype(np.float32)
+    labels = rng.uniform(size=n)
+    queries = rng.normal(size=(nq, d)).astype(np.float32)
+    filters = np.stack([np.full(nq, 0.1), np.full(nq, 0.9)], 1)
+    idx = PostfilterVamanaIndex(
+        points, labels, BuildParams(R=16, L=32, alpha=1.2, cache_path=""),
+    )
+    st = QueryStats(nq)
+    idx.batch_search(queries, filters, nq, build_query_params(5, 10), stats=st)
+    assert (st.visited > 0).all()
+    assert (st.distances > st.visited).all()  # each visit expands >1 neighbor
+    avg, p99 = st.visited_stats()
+    assert p99 >= avg > 0

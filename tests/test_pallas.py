@@ -10,8 +10,9 @@ from rangefilteredann_tpu.utils.data import make_pointset, pad_queries
 
 
 @pytest.mark.parametrize("metric", ["l2", "mips"])
-def test_pallas_scan_matches_xla(rng, metric):
-    n, d, nq, k = 1300, 24, 64, 10  # n not a tile multiple on purpose
+@pytest.mark.parametrize("nq", [64, 512])  # 512 spans two query-grid blocks
+def test_pallas_scan_matches_xla(rng, metric, nq):
+    n, d, k = 1300, 24, 10  # n not a tile multiple on purpose
     points = rng.normal(size=(n, d)).astype(np.float32)
     ps = make_pointset(points, metric)
     queries = rng.normal(size=(nq, d)).astype(np.float32)
@@ -33,3 +34,24 @@ def test_pallas_scan_matches_xla(rng, metric):
     np.testing.assert_allclose(
         np.asarray(got_d), np.asarray(want_d), rtol=1e-5, atol=1e-4
     )
+
+
+def test_pallas_scan_duplicate_points_ties(rng):
+    """Exact (dist, id) tie order with duplicated points across tiles."""
+    n, d, nq, k = 1536, 8, 64, 10
+    base = rng.normal(size=(96, d)).astype(np.float32)
+    points = np.tile(base, (16, 1))  # every point duplicated 16x across tiles
+    ps = make_pointset(points, "l2")
+    queries = rng.normal(size=(nq, d)).astype(np.float32)
+    qp = jnp.asarray(pad_queries(queries, d, ps.d_pad))
+    starts = np.zeros(nq, dtype=np.int32)
+    ends = np.full(nq, n, dtype=np.int32)
+    want_d, want_i = scan_bruteforce(
+        ps.data, ps.norms_sq, qp, jnp.asarray(starts), jnp.asarray(ends),
+        k=k, metric="l2",
+    )
+    got_d, got_i = pallas_scan_bruteforce(
+        ps.data, ps.norms_sq, qp, jnp.asarray(starts), jnp.asarray(ends),
+        k=k, metric="l2", interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
