@@ -88,8 +88,9 @@ def batched_range_bruteforce(
                     data, norms_sq, jnp.asarray(qs), jnp.asarray(ss), jnp.asarray(ee),
                     window=int(w), k=k, metric=metric,
                 )
-                out_d[chunk] = np.asarray(d)[: len(chunk)]
-                out_i[chunk] = np.asarray(i)[: len(chunk)]
+                d, i = jax.device_get((d, i))  # one tunnel round trip
+                out_d[chunk] = d[: len(chunk)]
+                out_i[chunk] = i[: len(chunk)]
     # --- large windows: tiled full scan ---
     if (~small).any():
         sel = np.nonzero(~small)[0]
@@ -111,8 +112,9 @@ def batched_range_bruteforce(
                 data, norms_sq, jnp.asarray(qs), jnp.asarray(ss),
                 jnp.asarray(ee), k=k, metric=metric,
             )
-        out_d[sel] = np.asarray(d)[: len(sel)]
-        out_i[sel] = np.asarray(i)[: len(sel)]
+        d, i = jax.device_get((d, i))
+        out_d[sel] = d[: len(sel)]
+        out_i[sel] = i[: len(sel)]
     return out_d, out_i
 
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 import os
 from typing import Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -47,11 +48,8 @@ def _filter_topk(f_ids, f_dists, graph: SlabGraph, win_lo, win_hi, k):
         f_ids, f_dists, graph.slab_to_global_dev,
         jnp.asarray(wl), jnp.asarray(wh), k,
     )
-    return (
-        np.asarray(counts)[:q],
-        np.asarray(g)[:q].astype(np.int64),
-        np.asarray(d)[:q],
-    )
+    counts, g, d = jax.device_get((counts, g, d))  # one tunnel round trip
+    return counts[:q], g[:q].astype(np.int64), d[:q]
 
 
 def _run_beam_batch(

@@ -36,6 +36,7 @@ from __future__ import annotations
 import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -282,8 +283,10 @@ class RangeFilterTreeIndex:
                 )
                 if stats is not None:
                     stats.add_beam_result(qis[sel], res)
-                fi = np.asarray(res.frontier_ids)[: len(sel), :k]
-                fd = np.asarray(res.frontier_dists)[: len(sel), :k]
+                fi, fd = jax.device_get(
+                    (res.frontier_ids, res.frontier_dists)
+                )
+                fi, fd = fi[: len(sel), :k], fd[: len(sel), :k]
                 valid = fi != int(EMPTY_ID)
                 out_i[sel] = np.where(valid, fi, int(EMPTY_ID))
                 out_d[sel] = np.where(valid, fd, np.inf)

@@ -127,8 +127,9 @@ def _prune_batched(ps, s2g_dev, p_slab, cand_slab, alpha, R, metric):
             ps.data, ps.norms_sq, s2g_dev, jnp.asarray(pp), jnp.asarray(cc),
             jnp.float32(alpha), R=R, metric=metric,
         )
-        out_ids[lo : lo + PRUNE_CHUNK] = np.asarray(ids)[: len(chunk_p)]
-        out_d[lo : lo + PRUNE_CHUNK] = np.asarray(d)[: len(chunk_p)]
+        ids, d = jax.device_get((ids, d))
+        out_ids[lo : lo + PRUNE_CHUNK] = ids[: len(chunk_p)]
+        out_d[lo : lo + PRUNE_CHUNK] = d[: len(chunk_p)]
     return out_ids, out_d
 
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -110,8 +111,9 @@ class VamanaIndex:
             active_in=jnp.asarray(act), q_norms_sq=jnp.asarray(qn),
             expand=default_expand(int(beam_width)),
         )
-        ids = np.asarray(res.frontier_ids)[:num_queries, :knn].astype(np.int64)
-        dists = np.asarray(res.frontier_dists)[:num_queries, :knn]
+        ids, dists = jax.device_get((res.frontier_ids, res.frontier_dists))
+        ids = ids[:num_queries, :knn].astype(np.int64)
+        dists = dists[:num_queries, :knn]
         return finalize_output(dists, ids, None, q_norms, ps.metric, pad_id=0)
 
     def check_recall(self, gFile: str, neighbors: np.ndarray, k: int) -> float:
