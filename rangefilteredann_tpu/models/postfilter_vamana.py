@@ -53,7 +53,8 @@ def _filter_topk(f_ids, f_dists, graph: SlabGraph, win_lo, win_hi, k):
 
 
 def _run_beam_batch(
-    ps, graph: SlabGraph, queries_padded, q_norms, starts, beam, qp_limit, metric
+    ps, graph: SlabGraph, queries_padded, q_norms, starts, beam, qp_limit,
+    metric, degree_limit=0,
 ):
     """One dense batched beam search at a fixed beam; returns device frontiers
     (padded rows beyond len(starts) are inactive)."""
@@ -69,8 +70,14 @@ def _run_beam_batch(
         beam=int(beam), k=0,  # k=0: postfilter searches never cut-prune
         cut=jnp.float32(1.35), limit=jnp.int32(qp_limit), metric=metric,
         active_in=jnp.asarray(act), expand=default_expand(int(beam)),
+        degree_limit=int(degree_limit),
     )
     return res
+
+
+def _dl(qp, graph) -> int:
+    """Effective degree limit (0 = expand full adjacency rows)."""
+    return qp.degree_limit if qp.degree_limit < graph.R else 0
 
 
 def doubling_postfilter(
@@ -103,7 +110,7 @@ def doubling_postfilter(
             sel = np.nonzero(~done & (cur_beam == b))[0]
             res = _run_beam_batch(
                 ps, graph, queries_padded[sel], q_norms[sel], starts[sel],
-                b, qp.limit, metric,
+                b, qp.limit, metric, degree_limit=_dl(qp, graph),
             )
             if stats is not None:
                 ids_for = stat_ids[sel] if stat_ids is not None else sel
@@ -125,7 +132,7 @@ def doubling_postfilter(
         sel = np.nonzero(needs_final & (final_beam == b))[0]
         res = _run_beam_batch(
             ps, graph, queries_padded[sel], q_norms[sel], starts[sel],
-            b, qp.limit, metric,
+            b, qp.limit, metric, degree_limit=_dl(qp, graph),
         )
         if stats is not None:
             ids_for = stat_ids[sel] if stat_ids is not None else sel

@@ -247,7 +247,7 @@ class RangeFilterTreeIndex:
 
     # -------------------------------------------------------------- execution
     def _run_single_shot(self, qis, rows, buckets, beams, queries_padded, k,
-                         stats=None):
+                         stats=None, degree_limit=0):
         """Dense batched single-shot bucket searches, grouped by (row, beam).
 
         Single-shot is the collapsed form of the leaf doubling query when the
@@ -280,6 +280,7 @@ class RangeFilterTreeIndex:
                     beam=int(beam), k=0, cut=jnp.float32(1.35),
                     limit=jnp.int32(10_000_000), metric=self._ps.metric,
                     active_in=jnp.asarray(act), expand=default_expand(int(beam)),
+                    degree_limit=0 if degree_limit >= g.R else int(degree_limit),
                 )
                 if stats is not None:
                     stats.add_beam_result(qis[sel], res)
@@ -563,7 +564,8 @@ class RangeFilterTreeIndex:
 
         # ---- execute the three phases as dense batches ----
         s_i, s_d = self._run_single_shot(
-            s_qi, s_row, s_bkt, s_beam, qpad, k, stats=stats
+            s_qi, s_row, s_bkt, s_beam, qpad, k, stats=stats,
+            degree_limit=qp.degree_limit,
         )
         d_i, d_d = self._run_doubling(
             d_qi, d_row, d_bkt, d_wlo, d_whi, qpad, q_norms, qp, stats=stats

@@ -53,13 +53,13 @@ def _scatter_edges(nbrs_dev, rows, cols, vals):
     return nbrs_dev.at[rows, cols].set(vals, mode="drop")
 
 
-def _pad_pow2(arr, pad_value, width=None):
-    """Pad dim 0 to the next pow2 (>= 64) so scatter shapes stay canonical."""
-    m = next_pow2(max(len(arr), 64))
+def _pad_to(arr, pad_value, size, width=None):
+    """Pad dim 0 to exactly `size` rows (canonical scatter shapes)."""
+    assert len(arr) <= size, (len(arr), size)
     if width is None:
-        out = np.full((m,), pad_value, dtype=arr.dtype)
+        out = np.full((size,), pad_value, dtype=arr.dtype)
     else:
-        out = np.full((m, width), pad_value, dtype=arr.dtype)
+        out = np.full((size, width), pad_value, dtype=arr.dtype)
     out[: len(arr)] = arr
     return out
 
@@ -109,16 +109,18 @@ def _batch_schedule(m: int, base: float = 2.0, max_fraction: float = 0.02):
     return out
 
 
-def _prune_batched(ps, s2g_dev, p_slab, cand_slab, alpha, R, metric):
-    """robust_prune over row chunks with pow2-padded shapes."""
+def _prune_batched(ps, s2g_dev, p_slab, cand_slab, alpha, R, metric,
+                   chunk: int = PRUNE_CHUNK):
+    """robust_prune over row chunks. Every chunk pads to the same `chunk`
+    rows so one compiled (chunk, C) shape serves the whole build."""
     m = len(p_slab)
     out_ids = np.full((m, R), -1, dtype=np.int32)
     out_d = np.full((m, R), np.inf, dtype=np.float32)
     C = cand_slab.shape[1]
-    for lo in range(0, m, PRUNE_CHUNK):
-        chunk_p = p_slab[lo : lo + PRUNE_CHUNK]
-        chunk_c = cand_slab[lo : lo + PRUNE_CHUNK]
-        mp = next_pow2(max(len(chunk_p), 64))
+    for lo in range(0, m, chunk):
+        chunk_p = p_slab[lo : lo + chunk]
+        chunk_c = cand_slab[lo : lo + chunk]
+        mp = chunk
         pp = np.full((mp,), -1, dtype=np.int32)
         cc = np.full((mp, C), -1, dtype=np.int32)
         pp[: len(chunk_p)] = chunk_p
@@ -128,8 +130,8 @@ def _prune_batched(ps, s2g_dev, p_slab, cand_slab, alpha, R, metric):
             jnp.float32(alpha), R=R, metric=metric,
         )
         ids, d = jax.device_get((ids, d))
-        out_ids[lo : lo + PRUNE_CHUNK] = ids[: len(chunk_p)]
-        out_d[lo : lo + PRUNE_CHUNK] = d[: len(chunk_p)]
+        out_ids[lo : lo + chunk] = ids[: len(chunk_p)]
+        out_d[lo : lo + chunk] = d[: len(chunk_p)]
     return out_ids, out_d
 
 
@@ -171,6 +173,18 @@ def build_vamana_graph(
     n_steps = max(len(s) for s in schedules)
     bucket_starts = bucket_slab_offsets[:-1].astype(np.int32)
 
+    # ONE padded batch shape for the whole build: every insert step, prune
+    # chunk, and scatter pads to the same size, so the compiler sees a single
+    # (mp, ...) shape per kernel instead of one per pow2 batch size (cold
+    # compiles over the remote-compile path dominate otherwise)
+    mb_max = max(
+        sum(s[t][1] - s[t][0] for s in schedules if t < len(s))
+        for t in range(n_steps)
+    )
+    mp = next_pow2(max(mb_max, 64))
+    chunk = min(PRUNE_CHUNK, mp)
+    rev_cap = next_pow2(2 * R)  # reverse-edge prune candidate width
+
     for t in range(n_steps):
         ins_list, start_list = [], []
         for b in range(nb):
@@ -181,7 +195,6 @@ def build_vamana_graph(
         inserts = np.concatenate(ins_list).astype(np.int32)
         starts = np.concatenate(start_list)
         mb = len(inserts)
-        mp = next_pow2(max(mb, 64))
         ins_p = np.full((mp,), m_slab, dtype=np.int32)  # pad = out-of-range slab
         st_p = np.zeros((mp,), dtype=np.int32)
         act_p = np.zeros((mp,), dtype=bool)
@@ -203,7 +216,9 @@ def build_vamana_graph(
         visited = np.where(visited == int(EMPTY_ID), -1, visited).astype(np.int32)
 
         # 2) RobustPrune the visited lists -> new out-edges (device)
-        new_out, new_d = _prune_batched(ps, s2g_dev, inserts, visited, alpha, R, metric)
+        new_out, new_d = _prune_batched(
+            ps, s2g_dev, inserts, visited, alpha, R, metric, chunk=chunk
+        )
 
         # 3) set out-edges of the inserted nodes — host mirror for the
         #    bookkeeping below, plus an in-place device scatter (donated
@@ -212,8 +227,8 @@ def build_vamana_graph(
         g.degrees[inserts] = (new_out >= 0).sum(axis=1)
         g.nbrs_dev = _scatter_rows(
             g.nbrs_dev,
-            jnp.asarray(_pad_pow2(inserts.astype(np.int32), m_slab)),
-            jnp.asarray(_pad_pow2(new_out, -1, R)),
+            jnp.asarray(_pad_to(inserts.astype(np.int32), m_slab, mp)),
+            jnp.asarray(_pad_to(new_out, -1, mp, R)),
         )
 
         # 4) reverse edges grouped by target (host bookkeeping,
@@ -237,28 +252,39 @@ def build_vamana_graph(
             g.degrees[uniq_v[fits]] += counts[fits]
             g.nbrs_dev = _scatter_edges(
                 g.nbrs_dev,
-                jnp.asarray(_pad_pow2(rows.astype(np.int32), m_slab)),
-                jnp.asarray(_pad_pow2(cols.astype(np.int32), 0)),
-                jnp.asarray(_pad_pow2(u[fits_e].astype(np.int32), -1)),
+                jnp.asarray(_pad_to(rows.astype(np.int32), m_slab, mp * R)),
+                jnp.asarray(_pad_to(cols.astype(np.int32), 0, mp * R)),
+                jnp.asarray(_pad_to(u[fits_e].astype(np.int32), -1, mp * R)),
             )
         # overfull: RobustPrune(old neighbors + reverse candidates) with user alpha
         over_v = uniq_v[~fits]
         if len(over_v):
             over_c = counts[~fits]
-            C = next_pow2(max(int(over_c.max()) + R, 2 * R))
-            cand = np.full((len(over_v), C), -1, dtype=np.int32)
+            # fixed candidate width: old neighbors + up to rev_cap - R reverse
+            # candidates (overflow beyond that is dropped; the reference keeps
+            # all, but >rev_cap-R same-batch reverse edges to one node is
+            # vanishingly rare and graph quality is recall-equivalent)
+            cand = np.full((len(over_v), rev_cap), -1, dtype=np.int32)
             cand[:, :R] = g.nbrs_host[over_v]
             over_e = np.repeat(~fits, counts)
             row_of = np.repeat(np.arange(len(over_v)), over_c)
-            cand[row_of, R + rank[over_e]] = u[over_e]
-            pruned, _ = _prune_batched(ps, s2g_dev, over_v.astype(np.int32), cand, alpha, R, metric)
+            keep = rank[over_e] < rev_cap - R
+            cand[row_of[keep], R + rank[over_e][keep]] = u[over_e][keep]
+            pruned, _ = _prune_batched(
+                ps, s2g_dev, over_v.astype(np.int32), cand, alpha, R, metric,
+                chunk=chunk,
+            )
             g.nbrs_host[over_v] = pruned
             g.degrees[over_v] = (pruned >= 0).sum(axis=1)
-            g.nbrs_dev = _scatter_rows(
-                g.nbrs_dev,
-                jnp.asarray(_pad_pow2(over_v.astype(np.int32), m_slab)),
-                jnp.asarray(_pad_pow2(pruned, -1, R)),
-            )
+            # over_v can exceed one batch width; scatter in mp-sized chunks
+            for lo in range(0, len(over_v), mp):
+                g.nbrs_dev = _scatter_rows(
+                    g.nbrs_dev,
+                    jnp.asarray(
+                        _pad_to(over_v[lo : lo + mp].astype(np.int32), m_slab, mp)
+                    ),
+                    jnp.asarray(_pad_to(pruned[lo : lo + mp], -1, mp, R)),
+                )
         if verbose:
             print(f"  vamana step {t + 1}/{n_steps}: inserted {mb}, "
                   f"visited avg {np.asarray(res.num_visited)[:mb].mean():.1f}")

@@ -101,7 +101,8 @@ def _merge_dedup_sort(ids, dists, expl, beam):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "beam", "k", "metric", "return_visited", "visited_cap", "expand"
+        "beam", "k", "metric", "return_visited", "visited_cap", "expand",
+        "degree_limit",
     ),
 )
 def batched_beam_search(
@@ -123,9 +124,15 @@ def batched_beam_search(
     return_visited: bool = False,
     visited_cap: int = 0,
     expand: int = 1,  # nodes expanded per step (1 = reference-exact order)
+    degree_limit: int = 0,  # expand only the first `degree_limit` neighbors
+    # of each node (adjacency rows are distance-sorted by the build,
+    # ref: vamana/index.h:131-134; QueryParams.degree_limit, types.h:118).
+    # 0 = no limit.
 ) -> BeamResult:
     q, _ = queries.shape
     m, r = nbrs.shape
+    if degree_limit and degree_limit < r:
+        r = degree_limit
     v_cap = visited_cap if return_visited else 0
 
     if active_in is None:
@@ -197,7 +204,7 @@ def batched_beam_search(
         n_vis = n_vis + sel_act.sum(axis=1, dtype=jnp.int32)
 
         # gather neighbor ids + distances
-        cand = nbrs[cur_safe].reshape(q, -1)  # [Q, E*R] slab ids
+        cand = nbrs[cur_safe][..., :r].reshape(q, -1)  # [Q, E*r] slab ids
         valid = (
             (cand >= 0)
             & jnp.repeat(sel_act, r, axis=1)
