@@ -169,3 +169,37 @@ def test_graph_io_native_matches_python(tmp_path):
     assert open(p_native, "rb").read() == open(p_python, "rb").read()
     back = native.read_graph_padded(p_native)
     np.testing.assert_array_equal(back, nbrs)
+
+
+@pytest.mark.parametrize("method", ["fenwick", "optimized_postfilter", "three_split"])
+def test_tree_results_identical_with_and_without_native(method, rng):
+    """End-to-end: the native batched planner and the Python fallback must
+    route every query identically (same task plans -> same results)."""
+    import rangefilteredann_tpu.native as nat
+    from rangefilteredann_tpu.models.range_filter_tree import RangeFilterTreeIndex
+
+    n, d, nq = 4000, 16, 60
+    points = rng.normal(size=(n, d)).astype(np.float32)
+    labels = rng.uniform(size=n)
+    queries = rng.normal(size=(nq, d)).astype(np.float32)
+    lo = rng.uniform(0, 0.7, size=nq)
+    w = rng.uniform(0.001, 0.3, size=nq)
+    filters = np.stack([lo, lo + w], 1)
+    from rangefilteredann_tpu import BuildParams
+
+    tree = RangeFilterTreeIndex(
+        points, labels, cutoff=300, split_factor=2,
+        build_params=BuildParams(R=16, L=32, alpha=1.2, cache_path=""),
+        metric="Euclidian", seed=3,
+    )
+    qp = QueryParams(k=5, beamSize=16, final_beam_multiply=2,
+                     min_query_to_bucket_ratio=6.0)
+    ids_native, d_native = tree.batch_search(queries, filters, nq, method, qp)
+    saved_lib, saved_tried = nat._lib, nat._tried
+    try:
+        nat._lib, nat._tried = None, True  # force the Python fallback
+        ids_py, d_py = tree.batch_search(queries, filters, nq, method, qp)
+    finally:
+        nat._lib, nat._tried = saved_lib, saved_tried
+    np.testing.assert_array_equal(ids_native, ids_py)
+    np.testing.assert_allclose(d_native, d_py, rtol=1e-5, atol=1e-4)

@@ -1,0 +1,80 @@
+"""`window_ann` drop-in surface (ref: python_bindings/python_bindings.cpp
+:160-238): per-variant class names, defaults submodule, and integer-dtype
+variants producing exact/near-exact results."""
+
+import numpy as np
+import pytest
+
+import window_ann
+
+
+def test_surface_names():
+    for dt in ("Float", "Uint8", "Int8"):
+        for m in ("Euclidian", "Mips"):
+            for fam in (
+                "PrefilterIndex", "PostfilterVamanaIndex",
+                "RangeFilterTreeIndex", "VamanaRangeFilterTreeIndex",
+                "SuperOptimizedPostfilterTreeIndex",
+            ):
+                assert hasattr(window_ann, f"{fam}{dt}{m}"), f"{fam}{dt}{m}"
+            assert hasattr(window_ann, f"Vamana{dt}{m}Index")
+    assert hasattr(window_ann, "build_vamana_float_euclidian_index")
+    assert window_ann.defaults.METRIC == "Euclidian"
+    assert window_ann.defaults.GRAPH_DEGREE == 64
+    assert window_ann.defaults.ALPHA == 1.2
+    assert window_ann.defaults.BEAMWIDTH == 128
+    for name in ("QueryParams", "BuildParams", "QueryFilter", "csr_filters",
+                 "FilteredDataset", "build_query_params"):
+        assert hasattr(window_ann, name)
+
+
+@pytest.mark.parametrize("dtype,cls", [
+    (np.uint8, "PrefilterIndexUint8Euclidian"),
+    (np.int8, "PrefilterIndexInt8Euclidian"),
+])
+def test_integer_prefilter_exact(rng, dtype, cls):
+    n, d, nq, k = 3000, 32, 40, 5
+    lo_v = 0 if dtype == np.uint8 else -100
+    points = rng.integers(lo_v, 100, size=(n, d)).astype(dtype)
+    labels = rng.uniform(size=n)
+    queries = rng.integers(lo_v, 100, size=(nq, d)).astype(dtype)
+    filters = np.stack([np.full(nq, 0.2), np.full(nq, 0.7)], 1)
+
+    idx = getattr(window_ann, cls)(points, labels)
+    qp = window_ann.build_query_params(k, k)
+    ids, dists = idx.batch_search(queries.astype(np.float32), filters, nq, qp)
+
+    order = np.argsort(labels, kind="stable")
+    ls = labels[order]
+    a, b = np.searchsorted(ls, 0.2), np.searchsorted(ls, 0.7)
+    cand = order[a:b]
+    for i in range(nq):
+        diff = points[cand].astype(np.int64) - queries[i].astype(np.int64)
+        dd = (diff * diff).sum(1)
+        want = set(cand[np.argsort(dd)[:k]].tolist())
+        assert len(want & set(int(x) for x in ids[i])) == k
+
+
+def test_int8_mips_postfilter_recall(rng):
+    # zero-mean int8: inner products straddle 0, the regime the reference's
+    # alpha-domination rule (index.h:99) is meaningful in. All-positive
+    # unnormalized data degenerates MIPS pruning identically in the
+    # reference; angular datasets are pre-normalized (run_our_method.py:218).
+    n, d, nq, k = 4000, 24, 30, 5
+    points = rng.integers(-50, 50, size=(n, d)).astype(np.int8)
+    labels = rng.uniform(size=n)
+    queries = rng.integers(-50, 50, size=(nq, d)).astype(np.float32)
+    filters = np.stack([np.full(nq, 0.0), np.full(nq, 1.0)], 1)
+    idx = window_ann.PostfilterVamanaIndexInt8Mips(
+        points, labels, window_ann.BuildParams(16, 32, 1.2, ""),
+    )
+    ids, _ = idx.batch_search(
+        queries, filters, nq, window_ann.build_query_params(k, 60, final_beam_multiply=2)
+    )
+    ips = queries @ points.astype(np.float32).T
+    recall = np.mean([
+        len(set(np.argsort(-ips[i])[:k].tolist())
+            & set(int(x) for x in ids[i])) / k
+        for i in range(nq)
+    ])
+    assert recall >= 0.8, recall
