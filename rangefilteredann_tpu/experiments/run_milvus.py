@@ -37,7 +37,8 @@ def save_row(results_dir, dataset_name, width, method, recall, avg_time, qps,
     path = os.path.join(results_dir, f"{dataset_name}_results.csv")
     if not os.path.exists(path):
         with open(path, "a") as f:
-            f.write("filter_width,method,recall,average_time,qps,threads\n")
+            f.write("filter_width,method,recall,average_time,qps,threads,"
+                    "build_time,branching_factor,memory\n")
     with open(path, "a") as f:
         f.write(f"{width},{method},{recall},{avg_time},{qps},{threads},"
                 f"{build_time},,\n")

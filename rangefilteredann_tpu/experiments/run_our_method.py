@@ -89,6 +89,11 @@ def main(argv=None):
     p.add_argument("--dataset", type=str, default=None)
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--dont_write_to_results_file", action="store_true")
+    p.add_argument("--no_warmup", action="store_true",
+                   help="Skip the untimed warm-up search before each timed "
+                        "one (warm-up excludes one-time XLA compiles from "
+                        "QPS, the analogue of the reference C++ harness's "
+                        "warm-up run, check_nn_recall.h:60-66)")
     p.add_argument("--vamana_tree_split_factor", type=int, default=None)
     p.add_argument("--alpha", type=float, default=None)
     p.add_argument("--super_opt_postfiltering_split_factor", type=float, default=None)
@@ -154,14 +159,22 @@ def main(argv=None):
                 all_results.append((width, method, recall, total) + extra)
                 print(all_results[-1], flush=True)
 
+            def timed(search):
+                """Run a search twice: untimed warm-up (compiles), then timed
+                (ref: check_nn_recall.h:60-66 does the same)."""
+                if not args.no_warmup:
+                    search()
+                t0 = time.time()
+                res = search()
+                return res, time.time() - t0
+
             if run["prefiltering"]:
                 t0 = time.time()
                 pre = wp.prefilter_index_constructor(metric, "float")(data, filter_values)
                 print(f"Prefiltering index build time: {time.time()-t0:.3f}s", flush=True)
                 qp = wp.build_query_params(k=TOP_K, beam_size=0, verbose=args.verbose)
-                t0 = time.time()
-                res = pre.batch_search(queries, ranges, nq, qp)
-                record("prefiltering", compute_recall(res[0], gt, TOP_K), time.time() - t0)
+                res, dt = timed(lambda: pre.batch_search(queries, ranges, nq, qp))
+                record("prefiltering", compute_recall(res[0], gt, TOP_K), dt)
 
             for alpha in alphas:
                 if run["postfiltering"]:
@@ -176,10 +189,10 @@ def main(argv=None):
                             qp = wp.build_query_params(
                                 k=TOP_K, beam_size=beam, final_beam_multiply=fm,
                                 verbose=args.verbose)
-                            t0 = time.time()
-                            res = pf.batch_search(queries, ranges, nq, qp)
+                            res, dt = timed(
+                                lambda: pf.batch_search(queries, ranges, nq, qp))
                             record(f"postfiltering_{alpha}_{beam}_{fm}",
-                                   compute_recall(res[0], gt, TOP_K), time.time() - t0)
+                                   compute_recall(res[0], gt, TOP_K), dt)
                             if should_break(all_results):
                                 break
 
@@ -204,24 +217,23 @@ def main(argv=None):
                             for beam in beam_sizes:
                                 qp = wp.build_query_params(
                                     k=TOP_K, beam_size=beam, verbose=args.verbose)
-                                t0 = time.time()
-                                res = tree.batch_search(queries, ranges, nq, "fenwick", qp)
+                                res, dt = timed(lambda: tree.batch_search(
+                                    queries, ranges, nq, "fenwick", qp))
                                 record(f"vamana-tree_{alpha:.3f}_{split}_{beam}",
                                        compute_recall(res[0], gt, TOP_K),
-                                       time.time() - t0, build_time, split, memory)
+                                       dt, build_time, split, memory)
                         if run["optimized_postfiltering"]:
                             for beam in beam_sizes:
                                 for fm in multiplies:
                                     qp = wp.build_query_params(
                                         k=TOP_K, beam_size=beam,
                                         final_beam_multiply=fm, verbose=args.verbose)
-                                    t0 = time.time()
-                                    res = tree.batch_search(
-                                        queries, ranges, nq, "optimized_postfilter", qp)
+                                    res, dt = timed(lambda: tree.batch_search(
+                                        queries, ranges, nq, "optimized_postfilter", qp))
                                     record(
                                         f"optimized-postfiltering_{alpha:.3f}_{split}_{beam}_{fm}",
                                         compute_recall(res[0], gt, TOP_K),
-                                        time.time() - t0, build_time, split, memory)
+                                        dt, build_time, split, memory)
                                     if should_break(all_results):
                                         break
                         if run["smart_combined"]:
@@ -231,13 +243,12 @@ def main(argv=None):
                                         k=TOP_K, beam_size=beam, final_beam_multiply=fm,
                                         min_query_to_bucket_ratio=0.05,
                                         verbose=args.verbose)
-                                    t0 = time.time()
-                                    res = tree.batch_search(
-                                        queries, ranges, nq, "optimized_postfilter", qp)
+                                    res, dt = timed(lambda: tree.batch_search(
+                                        queries, ranges, nq, "optimized_postfilter", qp))
                                     record(
                                         f"smart-combined_{alpha:.3f}_{split}_{beam}_{fm}",
                                         compute_recall(res[0], gt, TOP_K),
-                                        time.time() - t0, build_time, split, memory)
+                                        dt, build_time, split, memory)
                                     if should_break(all_results):
                                         break
                         if run["three_split"]:
@@ -247,13 +258,11 @@ def main(argv=None):
                                         k=TOP_K, beam_size=beam, final_beam_multiply=fm,
                                         min_query_to_bucket_ratio=0.05,
                                         verbose=args.verbose)
-                                    t0 = time.time()
-                                    res = tree.batch_search(
-                                        queries, ranges, nq, "three_split", qp)
+                                    res, dt = timed(lambda: tree.batch_search(
+                                        queries, ranges, nq, "three_split", qp))
                                     record(
                                         f"three-split_{alpha:.3f}_{split}_{beam}_{fm}",
-                                        compute_recall(res[0], gt, TOP_K),
-                                        time.time() - t0)
+                                        compute_recall(res[0], gt, TOP_K), dt)
                                     if should_break(all_results):
                                         break
 
@@ -281,12 +290,12 @@ def main(argv=None):
                                     qp = wp.build_query_params(
                                         k=TOP_K, beam_size=beam,
                                         final_beam_multiply=fm, verbose=args.verbose)
-                                    t0 = time.time()
-                                    res = sup.batch_search(queries, ranges, nq, qp)
+                                    res, dt = timed(lambda: sup.batch_search(
+                                        queries, ranges, nq, qp))
                                     record(
                                         f"super-postfiltering_{split}_{shift}_{alpha}_{beam}_{fm}",
                                         compute_recall(res[0], gt, TOP_K),
-                                        time.time() - t0, build_time, split, memory)
+                                        dt, build_time, split, memory)
                                     if should_break(all_results):
                                         break
 
@@ -298,7 +307,8 @@ def save_results(all_results, dataset_name, args, num_queries, threads):
     output_file = f"results/{args.results_file_prefix}{dataset_name}_results.csv"
     if not os.path.exists(output_file):
         with open(output_file, "a") as f:
-            f.write("filter_width,method,recall,average_time,qps,threads\n")
+            f.write("filter_width,method,recall,average_time,qps,threads,"
+                    "build_time,branching_factor,memory\n")
     if args.dont_write_to_results_file:
         return
     with open(output_file, "a") as f:
