@@ -52,24 +52,39 @@ def _filter_topk(f_ids, f_dists, graph: SlabGraph, win_lo, win_hi, k):
     return counts[:q], g[:q].astype(np.int64), d[:q]
 
 
+def _place(mesh, host_arr):
+    """Shard a per-query host array over the mesh's query axis (or plain
+    upload when unsharded)."""
+    if mesh is None:
+        return jnp.asarray(host_arr)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.device_put(host_arr, NamedSharding(mesh, P(mesh.axis_names[0])))
+
+
 def _run_beam_batch(
     ps, graph: SlabGraph, queries_padded, q_norms, starts, beam, qp_limit,
-    metric, degree_limit=0,
+    metric, degree_limit=0, mesh=None,
 ):
     """One dense batched beam search at a fixed beam; returns device frontiers
-    (padded rows beyond len(starts) are inactive)."""
+    (padded rows beyond len(starts) are inactive). With a mesh, the query
+    batch shards across devices (index replicated) — the kernel is per-query
+    SPMD so XLA partitions the while_loop with zero collectives."""
     q = len(starts)
     qpow = next_pow2(max(q, 64))
+    if mesh is not None:  # batch must divide evenly across devices
+        nd = int(np.prod(mesh.devices.shape))
+        qpow = -(-qpow // nd) * nd
     qs = np.zeros((qpow, queries_padded.shape[1]), dtype=np.float32)
     st = np.zeros((qpow,), dtype=np.int32)
     act = np.zeros((qpow,), dtype=bool)
     qs[:q], st[:q], act[:q] = queries_padded, starts, True
     res = batched_beam_search(
         ps.data, ps.norms_sq, graph.nbrs_dev, graph.slab_to_global_dev,
-        jnp.asarray(qs), jnp.asarray(st),
+        _place(mesh, qs), _place(mesh, st),
         beam=int(beam), k=0,  # k=0: postfilter searches never cut-prune
         cut=jnp.float32(1.35), limit=jnp.int32(qp_limit), metric=metric,
-        active_in=jnp.asarray(act), expand=default_expand(int(beam)),
+        active_in=_place(mesh, act), expand=default_expand(int(beam)),
         degree_limit=int(degree_limit),
     )
     return res
@@ -92,6 +107,7 @@ def doubling_postfilter(
     metric: str,
     stats=None,  # optional QueryStats; counters accumulate per source query
     stat_ids: Optional[np.ndarray] = None,  # [Q] source-query ids for stats
+    mesh=None,  # optional jax Mesh: shard query batches across devices
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Batched beam-doubling postfilter query (ref: postfilter_vamana.h:141-188).
 
@@ -110,7 +126,7 @@ def doubling_postfilter(
             sel = np.nonzero(~done & (cur_beam == b))[0]
             res = _run_beam_batch(
                 ps, graph, queries_padded[sel], q_norms[sel], starts[sel],
-                b, qp.limit, metric, degree_limit=_dl(qp, graph),
+                b, qp.limit, metric, degree_limit=_dl(qp, graph), mesh=mesh,
             )
             if stats is not None:
                 ids_for = stat_ids[sel] if stat_ids is not None else sel
@@ -132,7 +148,7 @@ def doubling_postfilter(
         sel = np.nonzero(needs_final & (final_beam == b))[0]
         res = _run_beam_batch(
             ps, graph, queries_padded[sel], q_norms[sel], starts[sel],
-            b, qp.limit, metric, degree_limit=_dl(qp, graph),
+            b, qp.limit, metric, degree_limit=_dl(qp, graph), mesh=mesh,
         )
         if stats is not None:
             ids_for = stat_ids[sel] if stat_ids is not None else sel
@@ -165,6 +181,7 @@ class PostfilterVamanaIndex:
         self._ps = make_pointset(pts_sorted, metric)
         n = self._ps.n
         self._bp = bp
+        self._mesh = None
         self._graph = self._load_or_build(bp, n, seed)
 
     # --- graph cache (ref: postfilter_vamana.h:54-79,126-138) ---
@@ -199,6 +216,22 @@ class PostfilterVamanaIndex:
             np.savez_compressed(fname, nbrs=g.nbrs_host)
         return g
 
+    def shard(self, mesh) -> "PostfilterVamanaIndex":
+        """Distribute queries across a device Mesh (index replicated on every
+        device; queries shard on the mesh axis). SURVEY.md §2d/§5h scale-out:
+        query sharding is the reference's per-query fork-join, SPMD-style."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        self._ps.data = jax.device_put(self._ps.data, repl)
+        self._ps.norms_sq = jax.device_put(self._ps.norms_sq, repl)
+        self._graph.nbrs_dev = jax.device_put(self._graph.nbrs_dev, repl)
+        self._graph.slab_to_global_dev = jax.device_put(
+            self._graph.slab_to_global_dev, repl
+        )
+        self._mesh = mesh
+        return self
+
     def batch_search(
         self,
         queries: np.ndarray,
@@ -222,6 +255,7 @@ class PostfilterVamanaIndex:
         ids, dists = doubling_postfilter(
             self._ps, self._graph, qp_pad, q_norms, starts,
             win_lo, win_hi, query_params, self._ps.metric, stats=stats,
+            mesh=self._mesh,
         )
         return finalize_output(
             dists, ids, self._decoding, q_norms, self._ps.metric, pad_id=-1

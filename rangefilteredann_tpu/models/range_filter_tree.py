@@ -103,6 +103,7 @@ class RangeFilterTreeIndex:
         self._leaf = leaf
         n = self._ps.n
         self._offsets = build_offset_rows(n, self._cutoff, self._split)
+        self._mesh = None
         self._graphs: List[Optional[SlabGraph]] = [None] * len(self._offsets)
         if leaf == "vamana":
             s2g = np.arange(n, dtype=np.int64)
@@ -139,6 +140,21 @@ class RangeFilterTreeIndex:
             os.makedirs(os.path.dirname(fname), exist_ok=True)
             np.savez_compressed(fname, nbrs=g.nbrs_host)
         return g
+
+    def shard(self, mesh) -> "RangeFilterTreeIndex":
+        """Query-shard over a device Mesh (point store + every row's
+        adjacency replicated; per-query batches shard on the mesh axis)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        self._ps.data = jax.device_put(self._ps.data, repl)
+        self._ps.norms_sq = jax.device_put(self._ps.norms_sq, repl)
+        for g in self._graphs:
+            if g is not None:
+                g.nbrs_dev = jax.device_put(g.nbrs_dev, repl)
+                g.slab_to_global_dev = jax.device_put(g.slab_to_global_dev, repl)
+        self._mesh = mesh
+        return self
 
     # ---------------------------------------------------------------- routing
     def _find_bucket_containing(self, row: int, index: int) -> int:
@@ -310,7 +326,7 @@ class RangeFilterTreeIndex:
             ids, dists = doubling_postfilter(
                 self._ps, g, queries_padded[qis[sel]], q_norms[qis[sel]],
                 starts, win_lo[sel], win_hi[sel], qp, self._ps.metric,
-                stats=stats, stat_ids=qis[sel],
+                stats=stats, stat_ids=qis[sel], mesh=self._mesh,
             )
             out_i[sel], out_d[sel] = ids, dists
         return out_i, out_d

@@ -81,6 +81,7 @@ class SuperOptimizedPostfilterTree:
         self._shift = float(shift_factor)
         n = self._ps.n
         self._rows = super_row_layout(n, self._cutoff, self._split, self._shift)
+        self._mesh = None
         self._graphs: List[SlabGraph] = []
         for r, (bsize, bshift, nb) in enumerate(self._rows):
             slab_offsets, s2g = self._row_slab(n, bsize, bshift, nb)
@@ -128,6 +129,20 @@ class SuperOptimizedPostfilterTree:
             os.makedirs(os.path.dirname(fname), exist_ok=True)
             np.savez_compressed(fname, nbrs=g.nbrs_host)
         return g
+
+    def shard(self, mesh) -> "SuperOptimizedPostfilterTree":
+        """Query-shard over a device Mesh (index replicated)."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        self._ps.data = jax.device_put(self._ps.data, repl)
+        self._ps.norms_sq = jax.device_put(self._ps.norms_sq, repl)
+        for g in self._graphs:
+            g.nbrs_dev = jax.device_put(g.nbrs_dev, repl)
+            g.slab_to_global_dev = jax.device_put(g.slab_to_global_dev, repl)
+        self._mesh = mesh
+        return self
 
     def _route(self, lo: int, hi: int) -> Tuple[int, int]:
         """Smallest row/bucket containing [lo, hi) (ref: :202-243).
@@ -188,6 +203,7 @@ class SuperOptimizedPostfilterTree:
                 self._ps, g, qpad[sel], q_norms[sel], starts,
                 lo_idx[sel].astype(np.int64), hi_incl[sel].astype(np.int64),
                 qp, self._ps.metric, stats=stats, stat_ids=sel,
+                mesh=self._mesh,
             )
             out_i[sel], out_d[sel] = ids, dists
 

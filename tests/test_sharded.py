@@ -69,3 +69,39 @@ def test_index_sharded_scan_exact(setup8):
     )
     got2 = np.asarray(i2)
     assert ((got2 >= 100) & (got2 < 300)).all()
+
+
+def test_index_shard_queries_matches_unsharded(setup8):
+    """Index-level .shard(mesh): query-sharded searches must equal the
+    unsharded ones exactly (same kernels, SPMD-partitioned)."""
+    import numpy as np
+
+    from rangefilteredann_tpu import (
+        BuildParams, PostfilterVamanaIndex, RangeFilterTreeIndex,
+        build_query_params,
+    )
+    from rangefilteredann_tpu.parallel.sharded import make_mesh
+
+    rng = np.random.default_rng(5)
+    n, d, nq = 3000, 16, 64
+    points = rng.normal(size=(n, d)).astype(np.float32)
+    labels = rng.uniform(size=n)
+    queries = rng.normal(size=(nq, d)).astype(np.float32)
+    lo = rng.uniform(0, 0.6, size=nq)
+    filters = np.stack([lo, lo + 0.3], 1)
+    qp = build_query_params(5, 16, final_beam_multiply=2)
+    bp = BuildParams(R=16, L=32, alpha=1.2, cache_path="")
+
+    idx = PostfilterVamanaIndex(points, labels, bp)
+    want = idx.batch_search(queries, filters, nq, qp)
+    got = idx.shard(make_mesh(8)).batch_search(queries, filters, nq, qp)
+    np.testing.assert_array_equal(got[0], want[0])
+    np.testing.assert_allclose(got[1], want[1], rtol=1e-5, atol=1e-4)
+
+    tree = RangeFilterTreeIndex(points, labels, cutoff=400, split_factor=2,
+                                build_params=bp, seed=2)
+    want = tree.batch_search(queries, filters, nq, "optimized_postfilter", qp)
+    got = tree.shard(make_mesh(8)).batch_search(
+        queries, filters, nq, "optimized_postfilter", qp
+    )
+    np.testing.assert_array_equal(got[0], want[0])
