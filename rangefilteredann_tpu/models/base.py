@@ -25,8 +25,14 @@ from ..utils.data import METRIC_L2
 EMPTY_ID = int(_EMPTY_ID)
 
 # Queries whose window exceeds this use the full-array matmul scan instead of
-# a per-query gather (the scan is pure MXU throughput; the gather is HBM-bound).
-WINDOW_GATHER_MAX = 4096
+# a per-query gather. On TPU the measured crossover is ~512 (the XLA gather is
+# row-rate-bound at ~80M rows/s while the window-local Pallas scan is flat
+# ~40k QPS at 200k points); the XLA scan fallback on CPU crosses over later.
+WINDOW_GATHER_MAX = 4096  # CPU / fallback value
+
+
+def window_gather_max() -> int:
+    return 512 if jax.default_backend() == "tpu" else WINDOW_GATHER_MAX
 MIN_CLASS = 64  # smallest padded window / batch size
 # Cap on gathered bytes per windowed_bruteforce launch (fp32), to bound HBM use.
 GATHER_BYTES_BUDGET = 1 << 30
@@ -64,7 +70,7 @@ def batched_range_bruteforce(
     out_d = np.full((nq, k), np.inf, dtype=np.float32)
     out_i = np.full((nq, k), EMPTY_ID, dtype=np.int64)
 
-    small = widths <= WINDOW_GATHER_MAX
+    small = widths <= window_gather_max()
     # --- small windows: per-query gather, grouped by pow2 window class ---
     if small.any():
         idx_small = np.nonzero(small)[0]
