@@ -86,6 +86,8 @@ def _run_beam_batch(
         cut=jnp.float32(1.35), limit=jnp.int32(qp_limit), metric=metric,
         active_in=_place(mesh, act), expand=default_expand(int(beam)),
         degree_limit=int(degree_limit),
+        norm_col=ps.norm_col if ps.norm_col >= 0 else None,
+        identity_map=graph.identity_s2g,
     )
     return res
 
@@ -208,6 +210,7 @@ class PostfilterVamanaIndex:
                 degrees=(nbrs >= 0).sum(axis=1).astype(np.int32),
                 bucket_slab_offsets=offsets,
                 slab_to_global_host=s2g,
+                identity_s2g=True,
             )
             return g
         g = build_vamana_graph(self._ps, s2g, offsets, bp, seed=seed)

@@ -134,6 +134,7 @@ class RangeFilterTreeIndex:
                 degrees=(nbrs >= 0).sum(axis=1).astype(np.int32),
                 bucket_slab_offsets=row_off,
                 slab_to_global_host=s2g,
+                identity_s2g=True,  # tree rows partition the sorted ids
             )
         g = build_vamana_graph(self._ps, s2g, row_off, self._bp, seed=seed + r)
         if fname:
@@ -297,6 +298,9 @@ class RangeFilterTreeIndex:
                     limit=jnp.int32(10_000_000), metric=self._ps.metric,
                     active_in=jnp.asarray(act), expand=default_expand(int(beam)),
                     degree_limit=0 if degree_limit >= g.R else int(degree_limit),
+                    norm_col=(self._ps.norm_col
+                              if self._ps.norm_col >= 0 else None),
+                    identity_map=g.identity_s2g,
                 )
                 if stats is not None:
                     stats.add_beam_result(qis[sel], res)

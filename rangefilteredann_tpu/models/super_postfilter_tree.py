@@ -123,6 +123,7 @@ class SuperOptimizedPostfilterTree:
                 degrees=(nbrs >= 0).sum(axis=1).astype(np.int32),
                 bucket_slab_offsets=slab_offsets,
                 slab_to_global_host=s2g,
+                identity_s2g=bool(np.array_equal(s2g, np.arange(len(s2g)))),
             )
         g = build_vamana_graph(self._ps, s2g, slab_offsets, self._bp, seed=seed + r)
         if fname:

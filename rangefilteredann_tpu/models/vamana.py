@@ -74,6 +74,7 @@ class SlabGraph:
     degrees: np.ndarray  # [m] int32
     bucket_slab_offsets: np.ndarray  # [nb+1] slab-space bucket boundaries
     slab_to_global_host: np.ndarray = None  # [m] host copy of the slab map
+    identity_s2g: bool = False  # slab ids == global ids (skip the map gather)
 
     @property
     def m(self) -> int:
@@ -128,6 +129,7 @@ def _prune_batched(ps, s2g_dev, p_slab, cand_slab, alpha, R, metric,
         ids, d = robust_prune(
             ps.data, ps.norms_sq, s2g_dev, jnp.asarray(pp), jnp.asarray(cc),
             jnp.float32(alpha), R=R, metric=metric,
+            norm_col=ps.norm_col if ps.norm_col >= 0 else None,
         )
         ids, d = jax.device_get((ids, d))
         out_ids[lo : lo + chunk] = ids[: len(chunk_p)]
@@ -154,6 +156,10 @@ def build_vamana_graph(
     metric = ps.metric
 
     s2g_dev = jnp.asarray(slab_to_global.astype(np.int32))
+    identity = bool(
+        m_slab == ps.n
+        and np.array_equal(slab_to_global, np.arange(m_slab))
+    )
     g = SlabGraph(
         nbrs_dev=jnp.full((m_slab, R), -1, dtype=jnp.int32),
         slab_to_global_dev=s2g_dev,
@@ -161,6 +167,7 @@ def build_vamana_graph(
         degrees=np.zeros((m_slab,), dtype=np.int32),
         bucket_slab_offsets=np.asarray(bucket_slab_offsets),
         slab_to_global_host=slab_to_global.astype(np.int64),
+        identity_s2g=identity,
     )
 
     # per-bucket random insertion orders + aligned schedules
@@ -211,6 +218,8 @@ def build_vamana_graph(
             metric=metric, active_in=jnp.asarray(act_p), exclude=ins_dev,
             return_visited=True, visited_cap=v_cap,
             expand=default_expand(L),
+            norm_col=ps.norm_col if ps.norm_col >= 0 else None,
+            identity_map=identity,
         )
         visited = np.asarray(res.visited_ids)[:mb]
         visited = np.where(visited == int(EMPTY_ID), -1, visited).astype(np.int32)
@@ -304,19 +313,26 @@ def sort_adjacency_rows(ps: PointSet, g: SlabGraph) -> np.ndarray:
     for lo in range(0, m, chunk):
         hi = min(lo + chunk, m)
         rows = jnp.asarray(g.nbrs_host[lo:hi])
-        out[lo:hi] = np.asarray(_sort_rows_kernel(ps.data, ps.norms_sq, s2g, rows, lo, ps.metric))
+        out[lo:hi] = np.asarray(_sort_rows_kernel(
+            ps.data, ps.norms_sq, s2g, rows, lo, ps.metric,
+            norm_col=ps.norm_col if ps.norm_col >= 0 else None,
+        ))
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("metric",))
-def _sort_rows_kernel(data, norms_sq, s2g, rows, row_base, metric):
+@functools.partial(jax.jit, static_argnames=("metric", "norm_col"))
+def _sort_rows_kernel(data, norms_sq, s2g, rows, row_base, metric,
+                      norm_col=None):
     m_slab = s2g.shape[0]
     valid = rows >= 0
     safe = jnp.clip(rows, 0, m_slab - 1)
     gid = s2g[safe]
     self_gid = s2g[jnp.clip(row_base + jnp.arange(rows.shape[0]), 0, m_slab - 1)]
+    self_vecs = data[self_gid].astype(jnp.float32)
+    if norm_col is not None:  # query side: keep the fused column out of ip
+        self_vecs = self_vecs.at[:, norm_col].set(0.0)
     d = gathered_distances(
-        data[self_gid].astype(jnp.float32), data[gid], norms_sq[gid], metric
+        self_vecs, data[gid], norms_sq[gid], metric
     )
     d = jnp.where(valid, d, jnp.inf)
     keys = jnp.where(valid, rows, EMPTY_ID)

@@ -82,6 +82,7 @@ class VamanaIndex:
             degrees=(nbrs >= 0).sum(axis=1).astype(np.int32),
             bucket_slab_offsets=np.array([0, n]),
             slab_to_global_host=s2g,
+            identity_s2g=True,
         )
 
     def batch_search(
@@ -110,6 +111,8 @@ class VamanaIndex:
             limit=jnp.int32(ps.n), metric=ps.metric,
             active_in=jnp.asarray(act), q_norms_sq=jnp.asarray(qn),
             expand=default_expand(int(beam_width)),
+            norm_col=ps.norm_col if ps.norm_col >= 0 else None,
+            identity_map=True,
         )
         ids, dists = jax.device_get((res.frontier_ids, res.frontier_dists))
         ids = ids[:num_queries, :knn].astype(np.int64)

@@ -102,7 +102,7 @@ def _merge_dedup_sort(ids, dists, expl, beam):
     jax.jit,
     static_argnames=(
         "beam", "k", "metric", "return_visited", "visited_cap", "expand",
-        "degree_limit",
+        "degree_limit", "norm_col", "identity_map",
     ),
 )
 def batched_beam_search(
@@ -128,6 +128,13 @@ def batched_beam_search(
     # of each node (adjacency rows are distance-sorted by the build,
     # ref: vamana/index.h:131-134; QueryParams.degree_limit, types.h:118).
     # 0 = no limit.
+    norm_col: Optional[int] = None,  # column of `data` holding ||x||^2
+    # (PointSet.norm_col). With it, the query's entry at that column is set
+    # to -0.5 (L2) / 0 (MIPS) so the shifted distance is just -2*ip — the
+    # norm is consumed INSIDE the matmul and the per-candidate norms_sq
+    # element-gather (row-rate-bound on TPU) disappears.
+    identity_map: bool = False,  # slab_to_global is the identity: skip its
+    # per-candidate gather (true for every non-overlapping graph).
 ) -> BeamResult:
     q, _ = queries.shape
     m, r = nbrs.shape
@@ -142,11 +149,28 @@ def batched_beam_search(
     if q_norms_sq is None:
         q_norms_sq = jnp.zeros((q,), dtype=jnp.float32)
 
+    if norm_col is not None:
+        queries = queries.at[:, norm_col].set(
+            -0.5 if metric == "l2" else 0.0
+        )
+
+    def _dists(gathered_vecs, gathered_gids):
+        """Per-query candidate distances, fused-norm or separate-norm form."""
+        ip = jax.lax.dot_general(
+            gathered_vecs, queries[..., None].astype(gathered_vecs.dtype),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )[..., 0]
+        if norm_col is not None:
+            return -2.0 * ip if metric == "l2" else -ip
+        nrm = norms_sq[gathered_gids]
+        return nrm - 2.0 * ip if metric == "l2" else -ip
+
     # --- init: frontier = {start} ---
-    start_gid = slab_to_global[jnp.clip(starts, 0, m - 1)]
-    d0 = gathered_distances(
-        queries, data[start_gid][:, None, :], norms_sq[start_gid][:, None], metric
-    )[:, 0]
+    start_safe = jnp.clip(starts, 0, m - 1)
+    start_gid = start_safe if identity_map else slab_to_global[start_safe]
+    d0 = _dists(data[start_gid][:, None, :], start_gid[:, None])[:, 0]
     f_ids = jnp.full((q, beam), EMPTY_ID, dtype=jnp.int32)
     f_ids = f_ids.at[:, 0].set(jnp.where(active_in, starts.astype(jnp.int32), EMPTY_ID))
     f_d = jnp.full((q, beam), jnp.inf, dtype=jnp.float32)
@@ -211,11 +235,12 @@ def batched_beam_search(
             & (cand != exclude[:, None])
         )
         cand_safe = jnp.clip(cand, 0, m - 1)
-        gid = slab_to_global[cand_safe]
-        gid_safe = jnp.clip(gid, 0, data.shape[0] - 1)
-        cand_dist = gathered_distances(
-            queries, data[gid_safe], norms_sq[gid_safe], metric
-        )
+        if identity_map:
+            gid_safe = cand_safe
+        else:
+            gid = slab_to_global[cand_safe]
+            gid_safe = jnp.clip(gid, 0, data.shape[0] - 1)
+        cand_dist = _dists(data[gid_safe], gid_safe)
         cmps = cmps + valid.sum(axis=1, dtype=jnp.int32)
 
         # drop candidates not beating the current worst of a full frontier

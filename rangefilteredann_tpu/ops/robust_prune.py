@@ -39,7 +39,7 @@ def _true_dists(vecs_a, norms_a, vecs_b, norms_b, metric):
     return -ip
 
 
-@functools.partial(jax.jit, static_argnames=("R", "metric"))
+@functools.partial(jax.jit, static_argnames=("R", "metric", "norm_col"))
 def robust_prune(
     data: jax.Array,  # [n, d_pad] global point store
     norms_sq: jax.Array,  # [n]
@@ -49,6 +49,13 @@ def robust_prune(
     alpha: jax.Array,  # scalar f32
     R: int,
     metric: str,
+    norm_col: "int | None" = None,  # REQUIRED when `data` carries a fused
+    # ||x||^2 column (make_pointset always adds one) — point-vs-point dots
+    # would otherwise include the norm-product term. Passed as
+    # PointSet.norm_col;
+    # norms come from the gathered rows themselves instead of extra
+    # element-gathers. The "query" side of each dot zeroes that column so the
+    # inner products stay uncontaminated.
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (out_ids [m, R] slab ids (-1 pad), out_dists [m, R] true d(p, out)).
 
@@ -62,13 +69,18 @@ def robust_prune(
 
     p_gid = slab_to_global[jnp.clip(p_slab, 0, m_slab - 1)]
     p_vec = data[p_gid]  # [m, d]
-    p_norm = norms_sq[p_gid]
 
     valid = (cand_slab >= 0) & (cand_slab != p_slab[:, None])
     c_safe = jnp.clip(cand_slab, 0, m_slab - 1)
     c_gid = slab_to_global[c_safe]
     c_vecs = data[c_gid]  # [m, C, d]
-    c_norms = norms_sq[c_gid]
+    if norm_col is not None:
+        p_norm = p_vec[:, norm_col]
+        c_norms = c_vecs[..., norm_col]
+        p_vec = p_vec.at[:, norm_col].set(0.0)  # query side of the dot
+    else:
+        p_norm = norms_sq[p_gid]
+        c_norms = norms_sq[c_gid]
 
     d_pc = _true_dists(p_vec, p_norm, c_vecs, c_norms, metric)  # [m, C]
     d_pc = jnp.where(valid, d_pc, jnp.inf)
@@ -96,6 +108,8 @@ def robust_prune(
 
         chosen_vec = jnp.take_along_axis(s_vecs, idx[:, None, None], axis=1)[:, 0]
         chosen_norm = jnp.take_along_axis(s_norms, idx[:, None], axis=1)[:, 0]
+        if norm_col is not None:  # query side of the domination dot
+            chosen_vec = chosen_vec.at[:, norm_col].set(0.0)
         d_star = _true_dists(chosen_vec, chosen_norm, s_vecs, s_norms, metric)
         dominated = alpha * d_star <= s_d
         # the chosen element is consumed regardless of self-domination

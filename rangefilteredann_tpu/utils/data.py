@@ -68,16 +68,22 @@ class PointSet:
     n: int
     d: int
     metric: str
+    # column of `data` holding ||x||^2 (queries are zero there, so distance
+    # matmuls are unaffected and one row gather yields vector AND norm —
+    # element-gathers of a separate norm array are row-rate-bound on TPU)
+    norm_col: int = -1
 
     # --- pytree plumbing (n/d/metric are static aux data) ---
     def tree_flatten(self):
-        return (self.data, self.norms_sq), (self.n, self.d, self.metric)
+        return (self.data, self.norms_sq), (self.n, self.d, self.metric,
+                                            self.norm_col)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         data, norms_sq = children
-        n, d, metric = aux
-        return cls(data=data, norms_sq=norms_sq, n=n, d=d, metric=metric)
+        n, d, metric, norm_col = aux
+        return cls(data=data, norms_sq=norms_sq, n=n, d=d, metric=metric,
+                   norm_col=norm_col)
 
     @property
     def d_pad(self) -> int:
@@ -103,12 +109,15 @@ def make_pointset(
     if points.ndim != 2:
         raise ValueError("points array must be 2-dimensional")
     n, d = points.shape
-    dp = pad_dim(d)
+    dp = pad_dim(d + 1)  # + 1 slot for the fused ||x||^2 column
     host = np.zeros((n, dp), dtype=np.float32)
     host[:, :d] = points.astype(np.float32)
     norms = np.einsum("nd,nd->n", host, host).astype(np.float32)
+    norm_col = d
+    host[:, norm_col] = norms
     data = jnp.asarray(host, dtype=compute_dtype)
-    return PointSet(data=data, norms_sq=jnp.asarray(norms), n=n, d=d, metric=metric)
+    return PointSet(data=data, norms_sq=jnp.asarray(norms), n=n, d=d,
+                    metric=metric, norm_col=norm_col)
 
 
 def pad_queries(queries: np.ndarray, d: int, d_padded: int) -> np.ndarray:

@@ -23,7 +23,7 @@ def test_robust_prune_matches_oracle(rng):
     cand = np.stack([rng.choice(n, size=C, replace=False) for _ in range(m)]).astype(np.int32)
     ids, dists = robust_prune(
         ps.data, ps.norms_sq, s2g, jnp.asarray(p_slab), jnp.asarray(cand),
-        jnp.float32(1.2), R=R, metric="l2",
+        jnp.float32(1.2), R=R, metric="l2", norm_col=ps.norm_col,
     )
     for i in range(m):
         cand_dists = [
