@@ -107,7 +107,8 @@ def compute_ground_truths_tpu(
     starts = np.searchsorted(labels_sorted, filter_ranges[:, 0], side="left")
     ends = np.searchsorted(labels_sorted, filter_ranges[:, 1], side="right")
     dists, ids = batched_range_bruteforce(
-        ps.data, ps.norms_sq, qpad, starts, ends, top_k, ps.metric
+        ps.data, ps.norms_sq, qpad, starts, ends, top_k, ps.metric,
+        norm_col=ps.norm_col,
     )
     assert np.isfinite(dists).all(), (
         "a query range holds fewer than top_k points; regenerate ranges"

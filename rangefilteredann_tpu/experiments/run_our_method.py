@@ -153,7 +153,11 @@ def main(argv=None):
 
         for width in ds_widths:
             all_results = []
-            ranges, gt = ds.get_queries_and_gt(name, width, args.data_folder)
+            try:
+                ranges, gt = ds.get_queries_and_gt(name, width, args.data_folder)
+            except FileNotFoundError:
+                print(f"skipping {width}: no query/GT protocol files", flush=True)
+                continue
 
             def record(method, recall, total, *extra):
                 all_results.append((width, method, recall, total) + extra)

@@ -58,6 +58,7 @@ def batched_range_bruteforce(
     ends: np.ndarray,  # [Q] int64 host
     k: int,
     metric: str,
+    norm_col=None,  # fused norm column (PointSet.norm_col), if `data` has one
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Exact k-NN within per-query sorted-index windows.
 
@@ -92,7 +93,7 @@ def batched_range_bruteforce(
                 ee[: len(chunk)] = ends[chunk]
                 d, i = windowed_bruteforce(
                     data, norms_sq, jnp.asarray(qs), jnp.asarray(ss), jnp.asarray(ee),
-                    window=int(w), k=k, metric=metric,
+                    window=int(w), k=k, metric=metric, norm_col=norm_col,
                 )
                 d, i = jax.device_get((d, i))  # one tunnel round trip
                 out_d[chunk] = d[: len(chunk)]

@@ -59,7 +59,8 @@ class PrefilterIndex:
         starts = first_geq(self._labels_sorted, filters[:, 0])
         ends = first_geq(self._labels_sorted, filters[:, 1])
         dists, ids = batched_range_bruteforce(
-            self._ps.data, self._ps.norms_sq, qp, starts, ends, k, self._ps.metric
+            self._ps.data, self._ps.norms_sq, qp, starts, ends, k, self._ps.metric,
+            norm_col=self._ps.norm_col,
         )
         q_norms = np.einsum("qd,qd->q", queries, queries)
         return finalize_output(

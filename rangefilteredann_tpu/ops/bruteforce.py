@@ -30,7 +30,9 @@ from .distances import gathered_distances, query_block_distances
 from .topk import EMPTY_ID, masked_topk, merge_topk
 
 
-@functools.partial(jax.jit, static_argnames=("window", "k", "metric"))
+@functools.partial(
+    jax.jit, static_argnames=("window", "k", "metric", "norm_col")
+)
 def windowed_bruteforce(
     data: jax.Array,  # [n, d_pad]
     norms_sq: jax.Array,  # [n]
@@ -40,6 +42,9 @@ def windowed_bruteforce(
     window: int,  # static padded window size (>= max(ends-starts))
     k: int,
     metric: str,
+    norm_col=None,  # fused ||x||^2 column (PointSet.norm_col): consumes the
+    # norm inside the matmul (query entry = -0.5) and skips the per-row
+    # norms_sq gather, which costs as much as the vector gather on TPU
 ):
     """Per-query window scan. Returns (dists [Q, k], ids [Q, k]) global ids.
 
@@ -52,8 +57,20 @@ def windowed_bruteforce(
     valid = ids < ends[:, None]
     safe = jnp.clip(ids, 0, n - 1)
     vecs = data[safe]  # [Q, W, d_pad]
-    nrm = norms_sq[safe]
-    dists = gathered_distances(queries, vecs, nrm, metric)
+    if norm_col is not None:
+        queries = queries.at[:, norm_col].set(
+            -0.5 if metric == "l2" else 0.0
+        )
+        ip = jax.lax.dot_general(
+            vecs, queries[..., None].astype(vecs.dtype),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )[..., 0]
+        dists = -2.0 * ip if metric == "l2" else -ip
+    else:
+        nrm = norms_sq[safe]
+        dists = gathered_distances(queries, vecs, nrm, metric)
     dists = jnp.where(valid, dists, jnp.inf)
     ids = jnp.where(valid, ids, EMPTY_ID)
     return masked_topk(dists, ids, k)
