@@ -103,15 +103,17 @@ def main():
 
     # B-WST tree methods — only when the row caches exist (a cold tree build
     # is ~35 min at this scale; the driver's bench run must stay bounded)
-    lo_l, hi_l = float(np.sort(labels)[0]), float(np.sort(labels)[-1])
-    tree_cache = (
-        f"bench_cache/wst_100_48_1.200000_{lo_l:.6f}_{hi_l:.6f}_{N}_2_1000_row0.npz"
+    from rangefilteredann_tpu.models.range_filter_tree import row_cache_filename
+
+    tree_bp = BuildParams(R=48, L=100, alpha=1.2, cache_path="bench_cache/")
+    tree_cache = row_cache_filename(
+        "bench_cache/", tree_bp, float(labels.min()), float(labels.max()),
+        N, 2, 1000, 0,
     )
     if os.path.exists(tree_cache):
         tree = RangeFilterTreeIndex(
             points, labels, cutoff=1000, split_factor=2,
-            build_params=BuildParams(R=48, L=100, alpha=1.2,
-                                     cache_path="bench_cache/"),
+            build_params=tree_bp,
         )
         for method in ("fenwick", "optimized_postfilter", "three_split"):
             for beam in (40, 80):

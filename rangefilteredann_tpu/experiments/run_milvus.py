@@ -118,7 +118,11 @@ def run(dataset_name: str, index_type: str, host="localhost", port=19530,
     build_time = time.time() - t0
 
     for width in EXPERIMENT_FILTER_WIDTHS:
-        ranges, gt = get_queries_and_gt(dataset_name, width, data_dir)
+        try:
+            ranges, gt = get_queries_and_gt(dataset_name, width, data_dir)
+        except FileNotFoundError:
+            print(f"skipping {width}: no query/GT protocol files")
+            continue
         queries = all_queries[: len(ranges)]
         nq = len(queries)
         for sp in SEARCH_GRIDS[index_type]:

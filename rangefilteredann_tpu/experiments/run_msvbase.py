@@ -57,23 +57,37 @@ def run(dataset_name, host="localhost", port=5432, user="vectordb",
             f"CREATE TABLE {table} "
             f"(id int PRIMARY KEY, priority float8, embedding float8[{dim}])"
         )
-        args = b",".join(
-            cur.mogrify("(%s,%s,%s)", (i, float(labels[i]), points[i].tolist()))
-            for i in range(n)
-        )
-        cur.execute(f"INSERT INTO {table} VALUES " + args.decode())
+        # chunked inserts: one statement for the full set exceeds
+        # PostgreSQL's query-size limit at reference scales
+        # (ref: run_msvbase.py:134-140 loads in batches too)
+        batch = 10_000
+        for lo in range(0, n, batch):
+            hi = min(lo + batch, n)
+            chunk = b",".join(
+                cur.mogrify("(%s,%s,%s)", (i, float(labels[i]), points[i].tolist()))
+                for i in range(lo, hi)
+            )
+            cur.execute(f"INSERT INTO {table} VALUES " + chunk.decode())
         t0 = time.time()
         cur.execute(
             f"CREATE INDEX {table}_hnsw ON {table} "
             f"USING hnsw(embedding) WITH (dimension={dim})"
         )
+        # scalar index on the filter column — the reference creates one and
+        # the range predicate is a sequential scan without it
+        # (ref: run_msvbase.py:145)
+        cur.execute(f"CREATE INDEX {table}_filter_idx ON {table} (priority)")
         conn.commit()
         build_time = time.time() - t0
     else:
         build_time = ""
 
     for width in EXPERIMENT_FILTER_WIDTHS:
-        ranges, gt = get_queries_and_gt(dataset_name, width, data_dir)
+        try:
+            ranges, gt = get_queries_and_gt(dataset_name, width, data_dir)
+        except FileNotFoundError:
+            print(f"skipping {width}: no query/GT protocol files")
+            continue
         queries = all_queries[: len(ranges)]
         nq = len(queries)
         t0 = time.time()

@@ -308,13 +308,13 @@ def main(argv=None):
 
 def save_results(all_results, dataset_name, args, num_queries, threads):
     """CSV writer, schema-identical to the reference (ref: :538-567)."""
+    if args.dont_write_to_results_file:
+        return
     output_file = f"results/{args.results_file_prefix}{dataset_name}_results.csv"
     if not os.path.exists(output_file):
         with open(output_file, "a") as f:
             f.write("filter_width,method,recall,average_time,qps,threads,"
                     "build_time,branching_factor,memory\n")
-    if args.dont_write_to_results_file:
-        return
     with open(output_file, "a") as f:
         for tup in all_results:
             width, name, recall, total = tup[:4]

@@ -83,9 +83,14 @@ class csr_filters:
         return out
 
     def _sort_rows(self):
-        for p in range(self.n_points):
-            s, e = self.row_offsets[p], self.row_offsets[p + 1]
-            self.row_indices[s:e].sort()
+        # one vectorized lexsort by (row, col) instead of a per-point loop
+        # (the reference sorts rows in parallel C++, filters.h:105-107)
+        rows = np.repeat(
+            np.arange(self.n_points, dtype=np.int64),
+            np.diff(self.row_offsets),
+        )
+        order = np.lexsort((self.row_indices, rows))
+        self.row_indices = self.row_indices[order]
 
     def save(self, filename: str) -> None:
         with open(filename, "wb") as f:

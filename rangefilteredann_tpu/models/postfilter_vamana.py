@@ -223,15 +223,9 @@ class PostfilterVamanaIndex:
         """Distribute queries across a device Mesh (index replicated on every
         device; queries shard on the mesh axis). SURVEY.md §2d/§5h scale-out:
         query sharding is the reference's per-query fork-join, SPMD-style."""
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.sharded import replicate_index
 
-        repl = NamedSharding(mesh, P())
-        self._ps.data = jax.device_put(self._ps.data, repl)
-        self._ps.norms_sq = jax.device_put(self._ps.norms_sq, repl)
-        self._graph.nbrs_dev = jax.device_put(self._graph.nbrs_dev, repl)
-        self._graph.slab_to_global_dev = jax.device_put(
-            self._graph.slab_to_global_dev, repl
-        )
+        replicate_index(self._ps, [self._graph], mesh)
         self._mesh = mesh
         return self
 

@@ -79,6 +79,17 @@ def build_offset_rows(n: int, cutoff: int, split_factor: int) -> List[np.ndarray
     return rows
 
 
+def row_cache_filename(cache_path, bp, label_lo, label_hi, n, split, cutoff,
+                       row) -> str:
+    """Canonical B-WST row-cache filename (single source of truth — bench.py
+    probes for cached trees with it)."""
+    return os.path.join(
+        cache_path,
+        f"wst_{bp.L}_{bp.R}_{bp.alpha:.6f}_{label_lo:.6f}_{label_hi:.6f}_"
+        f"{n}_{split}_{cutoff}_row{row}.npz",
+    )
+
+
 class RangeFilterTreeIndex:
     def __init__(
         self,
@@ -116,10 +127,8 @@ class RangeFilterTreeIndex:
         if not bp.cache_path:
             return None
         lo, hi = float(self._labels_sorted[0]), float(self._labels_sorted[-1])
-        return os.path.join(
-            bp.cache_path,
-            f"wst_{bp.L}_{bp.R}_{bp.alpha:.6f}_{lo:.6f}_{hi:.6f}_"
-            f"{self._ps.n}_{self._split}_{self._cutoff}_row{r}.npz",
+        return row_cache_filename(
+            bp.cache_path, bp, lo, hi, self._ps.n, self._split, self._cutoff, r
         )
 
     def _load_or_build_row(self, r, row_off, s2g, seed) -> SlabGraph:
@@ -145,15 +154,9 @@ class RangeFilterTreeIndex:
     def shard(self, mesh) -> "RangeFilterTreeIndex":
         """Query-shard over a device Mesh (point store + every row's
         adjacency replicated; per-query batches shard on the mesh axis)."""
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.sharded import replicate_index
 
-        repl = NamedSharding(mesh, P())
-        self._ps.data = jax.device_put(self._ps.data, repl)
-        self._ps.norms_sq = jax.device_put(self._ps.norms_sq, repl)
-        for g in self._graphs:
-            if g is not None:
-                g.nbrs_dev = jax.device_put(g.nbrs_dev, repl)
-                g.slab_to_global_dev = jax.device_put(g.slab_to_global_dev, repl)
+        replicate_index(self._ps, self._graphs, mesh)
         self._mesh = mesh
         return self
 
@@ -336,9 +339,9 @@ class RangeFilterTreeIndex:
         return out_i, out_d
 
     # ------------------------------------------------- native batched planning
-    def _fenwick_tasks(self, plan, sel, beam, lo_s, hi_s, single, brute):
-        """Append a plan_fenwick_batch result for queries `sel` (planned over
-        ranges lo_s/hi_s) to the flat task lists."""
+    def _fenwick_tasks(self, plan, sel, beam, single, brute):
+        """Append a plan_fenwick_batch result for queries `sel` to the flat
+        task lists (fringe windows come from the plan itself)."""
         b_row, b_idx, b_cnt, fringe = plan
         cap = b_row.shape[1]
         mask = np.arange(cap)[None, :] < b_cnt[:, None]
@@ -394,7 +397,7 @@ class RangeFilterTreeIndex:
             plan = native.plan_fenwick_batch(self._offsets, self._split, lo_s, hi_s)
             if plan is None:
                 return False  # cap overflow -> Python fallback
-            self._fenwick_tasks(plan, sel, beam, lo_s, hi_s, single, brute)
+            self._fenwick_tasks(plan, sel, beam, single, brute)
             return True
 
         def add_optimized(sel, lo_s, hi_s, win_hi):

@@ -133,15 +133,9 @@ class SuperOptimizedPostfilterTree:
 
     def shard(self, mesh) -> "SuperOptimizedPostfilterTree":
         """Query-shard over a device Mesh (index replicated)."""
-        import jax
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.sharded import replicate_index
 
-        repl = NamedSharding(mesh, P())
-        self._ps.data = jax.device_put(self._ps.data, repl)
-        self._ps.norms_sq = jax.device_put(self._ps.norms_sq, repl)
-        for g in self._graphs:
-            g.nbrs_dev = jax.device_put(g.nbrs_dev, repl)
-            g.slab_to_global_dev = jax.device_put(g.slab_to_global_dev, repl)
+        replicate_index(self._ps, self._graphs, mesh)
         self._mesh = mesh
         return self
 

@@ -34,7 +34,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from .distances import gathered_distances
+from .distances import fused_norm_distances, gathered_distances
 from .topk import EMPTY_ID
 
 
@@ -149,23 +149,15 @@ def batched_beam_search(
     if q_norms_sq is None:
         q_norms_sq = jnp.zeros((q,), dtype=jnp.float32)
 
-    if norm_col is not None:
-        queries = queries.at[:, norm_col].set(
-            -0.5 if metric == "l2" else 0.0
-        )
-
     def _dists(gathered_vecs, gathered_gids):
         """Per-query candidate distances, fused-norm or separate-norm form."""
-        ip = jax.lax.dot_general(
-            gathered_vecs, queries[..., None].astype(gathered_vecs.dtype),
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )[..., 0]
         if norm_col is not None:
-            return -2.0 * ip if metric == "l2" else -ip
-        nrm = norms_sq[gathered_gids]
-        return nrm - 2.0 * ip if metric == "l2" else -ip
+            return fused_norm_distances(
+                gathered_vecs, queries, metric, norm_col
+            )
+        return gathered_distances(
+            queries, gathered_vecs, norms_sq[gathered_gids], metric
+        )
 
     # --- init: frontier = {start} ---
     start_safe = jnp.clip(starts, 0, m - 1)

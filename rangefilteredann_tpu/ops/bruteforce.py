@@ -26,7 +26,11 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .distances import gathered_distances, query_block_distances
+from .distances import (
+    fused_norm_distances,
+    gathered_distances,
+    query_block_distances,
+)
 from .topk import EMPTY_ID, masked_topk, merge_topk
 
 
@@ -58,16 +62,7 @@ def windowed_bruteforce(
     safe = jnp.clip(ids, 0, n - 1)
     vecs = data[safe]  # [Q, W, d_pad]
     if norm_col is not None:
-        queries = queries.at[:, norm_col].set(
-            -0.5 if metric == "l2" else 0.0
-        )
-        ip = jax.lax.dot_general(
-            vecs, queries[..., None].astype(vecs.dtype),
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )[..., 0]
-        dists = -2.0 * ip if metric == "l2" else -ip
+        dists = fused_norm_distances(vecs, queries, metric, norm_col)
     else:
         nrm = norms_sq[safe]
         dists = gathered_distances(queries, vecs, nrm, metric)

@@ -80,6 +80,29 @@ def gathered_distances(
     raise ValueError(metric)
 
 
+def fused_norm_distances(
+    vecs: jax.Array,  # [Q, C, d_pad] gathered rows carrying ||x||^2 at norm_col
+    queries: jax.Array,  # [Q, d_pad] zero-padded queries
+    metric: str,
+    norm_col: int,
+) -> jax.Array:
+    """Distances with the norm consumed INSIDE the matmul: the query's entry
+    at norm_col is set to -0.5 (L2) / 0 (MIPS), so shifted-L2 = -2*ip and
+    MIPS = -ip with no separate norm read (element-gathers are row-rate-bound
+    on TPU). Returns [Q, C] shifted distances."""
+    queries = queries.at[:, norm_col].set(
+        -0.5 if metric == METRIC_L2 else 0.0
+    )
+    ip = jax.lax.dot_general(
+        vecs,
+        queries[..., None].astype(vecs.dtype),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=MATMUL_PRECISION,
+    )[..., 0]
+    return -2.0 * ip if metric == METRIC_L2 else -ip
+
+
 def gather_and_distance(
     data: jax.Array,  # [n, d_pad] point store
     norms_sq: jax.Array,  # [n]

@@ -32,6 +32,18 @@ from ..ops.distances import query_block_distances
 from ..ops.topk import EMPTY_ID, masked_topk
 
 
+def replicate_index(ps, graphs, mesh: Mesh) -> None:
+    """Device_put an index's point store + slab graphs replicated over `mesh`
+    (in place). Shared by every index class's .shard()."""
+    repl = NamedSharding(mesh, P())
+    ps.data = jax.device_put(ps.data, repl)
+    ps.norms_sq = jax.device_put(ps.norms_sq, repl)
+    for g in graphs:
+        if g is not None:
+            g.nbrs_dev = jax.device_put(g.nbrs_dev, repl)
+            g.slab_to_global_dev = jax.device_put(g.slab_to_global_dev, repl)
+
+
 def make_mesh(n_devices: Optional[int] = None, axis: str = "q") -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
@@ -73,8 +85,12 @@ def sharded_beam_search(
 def _sharded_scan_impl(data_sh, norms_sh, queries, starts, ends, row_offset, k, metric, mesh, axis):
     try:  # jax >= 0.8 moved shard_map out of experimental
         from jax import shard_map
+
+        check_kwargs = {"check_vma": False}
     except ImportError:
         from jax.experimental.shard_map import shard_map
+
+        check_kwargs = {"check_rep": False}
 
     def local_scan(data_local, norms_local, queries, starts, ends, row_offset):
         # each device scans its own row-shard of the point store
@@ -97,7 +113,7 @@ def _sharded_scan_impl(data_sh, norms_sh, queries, starts, ends, row_offset, k, 
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(), P(), P(), P()),
         out_specs=(P(), P()),
-        check_vma=False,  # pre-0.8 jax called this check_rep
+        **check_kwargs,  # replication checking off (all_gather merge)
     )(data_sh, norms_sh, queries, starts, ends, row_offset)
 
 
