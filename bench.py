@@ -51,6 +51,12 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _timed(fn):
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
 def main():
     rng = np.random.default_rng(42)
     centers = rng.normal(size=(CLUSTERS, D)).astype(np.float32)
@@ -80,9 +86,11 @@ def main():
     # exact prefiltering is a first-class method (recall 1.0 by construction);
     # the reference's comparison methodology takes the best method per recall
     # threshold (ref: experiments/create_table.py:5-37)
-    t0 = time.time()
-    gt_idx.batch_search(queries, filters, NQ, build_query_params(K, K))
-    dt = time.time() - t0
+    dt = min(
+        _timed(lambda: gt_idx.batch_search(
+            queries, filters, NQ, build_query_params(K, K)))
+        for _ in range(3)  # best-of-3: the host<->device link jitters
+    )
     log(f"prefilter (exact): recall=1.0 qps={NQ / dt:.0f}")
     best = (NQ / dt, 1.0, 0, 0)
     for fm in FINAL_MULTIPLIES:

@@ -83,18 +83,27 @@ def _merge_dedup_sort(ids, dists, expl, beam):
     """Exact dedup-by-id then (dist, id) sort; returns the best `beam` slots.
 
     Keep-first priority goes to explored copies so an expanded frontier entry
-    wins over a freshly proposed duplicate of itself.
+    wins over a freshly proposed duplicate of itself. Both sorts pack two
+    values into one int32 key (requires slab size < 2^30; flag in the low
+    bit) to halve sort operand traffic — comparator order is identical:
+    (id, 1-expl) == ids*2+(1-expl), and for the second sort ids are unique
+    post-dedup so (dist, id, [expl]) == (dist, ids*2+expl).
     """
-    prio = 1 - expl  # explored (0) sorts first among equal ids
-    s_ids, _, s_d, s_e = jax.lax.sort((ids, prio, dists, expl), num_keys=2)
+    # ids*2 would overflow for EMPTY_ID (int32 max); empties keep their own key
+    key1 = jnp.where(ids == EMPTY_ID, EMPTY_ID, ids * 2 + (1 - expl))
+    s_key1, s_d = jax.lax.sort((key1, dists), num_keys=1)
+    is_empty = s_key1 == EMPTY_ID
+    s_ids = jnp.where(is_empty, EMPTY_ID, s_key1 >> 1)
+    s_e = jnp.where(is_empty, 0, 1 - (s_key1 & 1))
     dup = jnp.concatenate(
         [jnp.zeros_like(s_ids[:, :1], dtype=bool), s_ids[:, 1:] == s_ids[:, :-1]],
         axis=1,
-    ) & (s_ids != EMPTY_ID)
-    s_ids = jnp.where(dup, EMPTY_ID, s_ids)
+    ) & ~is_empty
+    key2 = jnp.where(dup | is_empty, EMPTY_ID, s_ids * 2 + s_e)
     s_d = jnp.where(dup, jnp.inf, s_d)
-    s_e = jnp.where(dup, 0, s_e)
-    f_d, f_ids, f_e = jax.lax.sort((s_d, s_ids, s_e), num_keys=2)
+    f_d, f_key2 = jax.lax.sort((s_d, key2), num_keys=2)
+    f_ids = jnp.where(f_key2 == EMPTY_ID, EMPTY_ID, f_key2 >> 1)
+    f_e = jnp.where(f_key2 == EMPTY_ID, 0, f_key2 & 1)
     return f_ids[:, :beam], f_d[:, :beam], f_e[:, :beam]
 
 
@@ -138,6 +147,7 @@ def batched_beam_search(
 ) -> BeamResult:
     q, _ = queries.shape
     m, r = nbrs.shape
+    assert m < 2**30, "slab ids must fit packed int32 sort keys (m < 2^30)"
     if degree_limit and degree_limit < r:
         r = degree_limit
     v_cap = visited_cap if return_visited else 0
