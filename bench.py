@@ -31,6 +31,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 from rangefilteredann_tpu import (
     BuildParams,
     RangeFilterTreeIndex,
+    SuperOptimizedPostfilterTree,
     build_query_params,
 )
 from rangefilteredann_tpu.models.postfilter_vamana import PostfilterVamanaIndex
@@ -139,7 +140,36 @@ def main():
                 if recall >= 0.9 and NQ / dt > best[0]:
                     best = (NQ / dt, recall, beam, 2)
     else:
-        log("tree caches absent; skipping tree methods (see /tmp protocol)")
+        log("tree caches absent; skipping tree methods")
+
+    from rangefilteredann_tpu.models.super_postfilter_tree import (
+        super_row_cache_filename,
+    )
+
+    super_cache = super_row_cache_filename(
+        "bench_cache/", tree_bp, float(labels.min()), float(labels.max()),
+        N, 2.0, 0.5, 1000, 0,
+    )
+    if os.path.exists(super_cache):
+        sup = SuperOptimizedPostfilterTree(
+            points, labels, cutoff=1000, split_factor=2.0, shift_factor=0.5,
+            build_params=tree_bp,
+        )
+        for beam in (40, 80):
+            qp = build_query_params(K, beam, final_beam_multiply=2)
+            sup.batch_search(queries, filters, NQ, qp)
+            t0 = time.time()
+            ids, _ = sup.batch_search(queries, filters, NQ, qp)
+            dt = time.time() - t0
+            recall = np.mean([
+                len(gt_sets[i] & set(ids[i].astype(np.int64).tolist())) / K
+                for i in range(NQ)
+            ])
+            log(f"super beam={beam}: recall={recall:.4f} qps={NQ/dt:.0f}")
+            if recall >= 0.9 and NQ / dt > best[0]:
+                best = (NQ / dt, recall, beam, 2)
+    else:
+        log("super caches absent; skipping super-postfiltering")
 
     if best is None:
         print(json.dumps({

@@ -53,6 +53,16 @@ def super_row_layout(n: int, cutoff: int, split_factor: float, shift_factor: flo
     return rows
 
 
+def super_row_cache_filename(cache_path, bp, label_lo, label_hi, n, split,
+                             shift, cutoff, row) -> str:
+    """Canonical super-tree row-cache filename (single source of truth)."""
+    return os.path.join(
+        cache_path,
+        f"super_{bp.L}_{bp.R}_{bp.alpha:.6f}_{label_lo:.6f}_{label_hi:.6f}_"
+        f"{n}_{split:.3f}_{shift:.3f}_{cutoff}_row{row}.npz",
+    )
+
+
 class SuperOptimizedPostfilterTree:
     def __init__(
         self,
@@ -105,10 +115,9 @@ class SuperOptimizedPostfilterTree:
         if not bp.cache_path:
             return None
         lo, hi = float(self._labels_sorted[0]), float(self._labels_sorted[-1])
-        return os.path.join(
-            bp.cache_path,
-            f"super_{bp.L}_{bp.R}_{bp.alpha:.6f}_{lo:.6f}_{hi:.6f}_{self._ps.n}_"
-            f"{self._split:.3f}_{self._shift:.3f}_{self._cutoff}_row{r}.npz",
+        return super_row_cache_filename(
+            bp.cache_path, bp, lo, hi, self._ps.n, self._split, self._shift,
+            self._cutoff, r,
         )
 
     def _load_or_build_row(self, r, slab_offsets, s2g, seed) -> SlabGraph:

@@ -159,3 +159,16 @@ def test_stats_wiring():
     assert (st.distances > st.visited).all()  # each visit expands >1 neighbor
     avg, p99 = st.visited_stats()
     assert p99 >= avg > 0
+
+
+def test_unsorted_rows_get_sorted():
+    """The loader sorts each row's filter ids (ref: filters.h:105-107) —
+    vectorized here; feed deliberately unsorted rows."""
+    offsets = np.array([0, 3, 5, 5, 8], dtype=np.int64)
+    cols = np.array([7, 2, 5, 9, 1, 6, 0, 3], dtype=np.int32)
+    cf = csr_filters.from_arrays(offsets, cols, 10)
+    np.testing.assert_array_equal(cf.point_filters(0), [2, 5, 7])
+    np.testing.assert_array_equal(cf.point_filters(1), [1, 9])
+    np.testing.assert_array_equal(cf.point_filters(2), [])
+    np.testing.assert_array_equal(cf.point_filters(3), [0, 3, 6])
+    assert cf.match(0, 5) and not cf.match(0, 4)
