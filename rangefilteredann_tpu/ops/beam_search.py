@@ -206,8 +206,13 @@ def batched_beam_search(
         if expand == 1:
             sel = jnp.argmax(unexplored, axis=1)[:, None]  # [Q, 1]
         else:
-            slot_rank = jnp.where(unexplored, iota_b, beam + iota_b)
-            _, sel = jax.lax.top_k(-slot_rank, expand)  # [Q, E] first E slots
+            # first `expand` unexplored slots via a cumsum rank match — a
+            # [Q, E, B] compare is far cheaper on the VPU than top_k's sort
+            rank = jnp.cumsum(unexplored.astype(jnp.int32), axis=1)  # [Q, B]
+            e_rank = jax.lax.broadcasted_iota(jnp.int32, (1, expand, 1), 1) + 1
+            hit = unexplored[:, None, :] & (rank[:, None, :] == e_rank)
+            sel = jnp.argmax(hit, axis=2)  # [Q, E] (0 if no e-th slot; masked
+            #                                by sel_act below via n_unex)
         n_unex = unexplored.sum(axis=1, dtype=jnp.int32)  # [Q]
         e_iota = jax.lax.broadcasted_iota(jnp.int32, sel.shape, 1)
         sel_act = active[:, None] & (e_iota < n_unex[:, None])  # [Q, E]
