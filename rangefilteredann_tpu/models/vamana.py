@@ -9,10 +9,13 @@ TPU-native re-design of the reference's knn_index::batch_insert
     step is one batched beam search + one batched RobustPrune across every
     bucket's inserts at once. A row of 1024 tiny graphs costs the same device
     work as one big graph — this replaces the reference's per-bucket fork-join.
-  * All distance work (insertion beam searches, prune domination tests,
-    final adjacency sort) runs on the TPU; the reverse-edge grouping
-    (ref: index.h:279-306, parlay::group_by_key) is integer bookkeeping and
-    runs on the host over a mirrored adjacency.
+  * The ENTIRE insert step is one jitted device program over donated
+    (adjacency, degrees) state: insertion beam searches, RobustPrune of the
+    visited lists, out-edge scatter, reverse-edge grouping (a device sort +
+    segmented ranks replacing parlay::group_by_key, ref: index.h:279-306),
+    bounded appends, and the overfull re-prune. The host only enqueues steps
+    — there is no host<->device transfer inside the build loop, so steps
+    pipeline back-to-back on the device.
 
 Graphs are "slabs" (see ops/beam_search.py): adjacency [m_slab, R] of
 slab-local int32 ids (-1 padded) + slab_to_global. For plain graphs the map is
@@ -23,7 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -38,30 +41,7 @@ from ..utils.data import PointSet
 from .base import next_pow2
 
 PRUNE_CHUNK = 2048  # rows per robust_prune launch (bounds the [m, C, d] gather)
-
-
-@functools.partial(jax.jit, donate_argnums=(0,))
-def _scatter_rows(nbrs_dev, rows, vals):
-    """In-place row update of the device adjacency (donated buffer — no copy,
-    no host->device re-upload of the full [m, R] array per insert batch)."""
-    return nbrs_dev.at[rows].set(vals, mode="drop")
-
-
-@functools.partial(jax.jit, donate_argnums=(0,))
-def _scatter_edges(nbrs_dev, rows, cols, vals):
-    """In-place single-edge appends nbrs[rows, cols] = vals (drop on pad)."""
-    return nbrs_dev.at[rows, cols].set(vals, mode="drop")
-
-
-def _pad_to(arr, pad_value, size, width=None):
-    """Pad dim 0 to exactly `size` rows (canonical scatter shapes)."""
-    assert len(arr) <= size, (len(arr), size)
-    if width is None:
-        out = np.full((size,), pad_value, dtype=arr.dtype)
-    else:
-        out = np.full((size, width), pad_value, dtype=arr.dtype)
-    out[: len(arr)] = arr
-    return out
+_I32_MAX = np.iinfo(np.int32).max
 
 
 @dataclasses.dataclass
@@ -110,31 +90,139 @@ def _batch_schedule(m: int, base: float = 2.0, max_fraction: float = 0.02):
     return out
 
 
-def _prune_batched(ps, s2g_dev, p_slab, cand_slab, alpha, R, metric,
-                   chunk: int = PRUNE_CHUNK):
-    """robust_prune over row chunks. Every chunk pads to the same `chunk`
-    rows so one compiled (chunk, C) shape serves the whole build."""
-    m = len(p_slab)
-    out_ids = np.full((m, R), -1, dtype=np.int32)
-    out_d = np.full((m, R), np.inf, dtype=np.float32)
-    C = cand_slab.shape[1]
-    for lo in range(0, m, chunk):
-        chunk_p = p_slab[lo : lo + chunk]
-        chunk_c = cand_slab[lo : lo + chunk]
-        mp = chunk
-        pp = np.full((mp,), -1, dtype=np.int32)
-        cc = np.full((mp, C), -1, dtype=np.int32)
-        pp[: len(chunk_p)] = chunk_p
-        cc[: len(chunk_p)] = chunk_c
-        ids, d = robust_prune(
-            ps.data, ps.norms_sq, s2g_dev, jnp.asarray(pp), jnp.asarray(cc),
-            jnp.float32(alpha), R=R, metric=metric,
-            norm_col=ps.norm_col if ps.norm_col >= 0 else None,
-        )
-        ids, d = jax.device_get((ids, d))
-        out_ids[lo : lo + chunk] = ids[: len(chunk_p)]
-        out_d[lo : lo + chunk] = d[: len(chunk_p)]
-    return out_ids, out_d
+def _prune_mapped(data, norms_sq, s2g, p_slab, cand, alpha, *, R, metric,
+                  norm_col, chunk):
+    """robust_prune over [mp, C] rows, lax.map'ed in `chunk`-row pieces to
+    bound the [chunk, C, d] gather + [chunk, C, C] Gram scratch."""
+    mp, C = cand.shape
+    n_chunks = -(-mp // chunk)
+    pad = n_chunks * chunk - mp
+    p_r = jnp.pad(p_slab, (0, pad), constant_values=_I32_MAX).reshape(
+        n_chunks, chunk)
+    c_r = jnp.pad(cand, ((0, pad), (0, 0)), constant_values=-1).reshape(
+        n_chunks, chunk, C)
+
+    def one(args):
+        p, c = args
+        ids, d = robust_prune(data, norms_sq, s2g, p, c, alpha, R=R,
+                              metric=metric, norm_col=norm_col)
+        return ids, d
+
+    ids, d = jax.lax.map(one, (p_r, c_r))
+    return ids.reshape(-1, R)[:mp], d.reshape(-1, R)[:mp]
+
+
+@functools.partial(
+    jax.jit,
+    donate_argnums=(0, 1),
+    static_argnames=("R", "L", "metric", "v_cap", "chunk", "rev_cap",
+                     "norm_col", "identity", "expand"),
+)
+def _insert_step(
+    nbrs,  # [m, R] int32, donated
+    degrees,  # [m] int32, donated
+    data, norms_sq, s2g,
+    ins_p,  # [mp] int32 slab ids, pad = m_slab
+    st_p,  # [mp] int32 start slab ids
+    act_p,  # [mp] bool
+    alpha,  # scalar f32
+    *, R, L, metric, v_cap, chunk, rev_cap, norm_col, identity, expand,
+):
+    """One fully device-resident Vamana insert batch (ref: index.h:264-307)."""
+    m_slab = nbrs.shape[0]
+    mp = ins_p.shape[0]
+
+    # 1) insertion beam searches against the current graph
+    q_gid = jnp.clip(ins_p, 0, m_slab - 1)
+    if not identity:
+        q_gid = s2g[q_gid]
+    queries = data[q_gid].astype(jnp.float32)
+    res = batched_beam_search(
+        data, norms_sq, nbrs, s2g, queries, st_p,
+        beam=L, k=0, cut=jnp.float32(1.0), limit=jnp.int32(m_slab),
+        metric=metric, active_in=act_p, exclude=ins_p,
+        return_visited=True, visited_cap=v_cap, expand=expand,
+        norm_col=norm_col, identity_map=identity,
+    )
+    visited = jnp.where(res.visited_ids == EMPTY_ID, -1, res.visited_ids)
+
+    # 2) RobustPrune the visited lists -> out-edges of the inserted nodes
+    new_out, _ = _prune_mapped(
+        data, norms_sq, s2g, ins_p, visited.astype(jnp.int32), alpha,
+        R=R, metric=metric, norm_col=norm_col, chunk=chunk)
+
+    # 3) set out-edges + degrees (pad rows have ins_p = m_slab -> dropped)
+    nbrs = nbrs.at[ins_p].set(new_out, mode="drop")
+    degrees = degrees.at[ins_p].set(
+        (new_out >= 0).sum(axis=1, dtype=jnp.int32), mode="drop")
+
+    # 4) reverse edges grouped by target: device sort + segmented ranks
+    #    (replaces parlay::group_by_key, ref: index.h:279-291)
+    E = mp * R
+    u = jnp.repeat(ins_p, R)
+    v = new_out.reshape(-1)
+    key = jnp.where(v >= 0, v, _I32_MAX)
+    s_v, s_u = jax.lax.sort((key, u), num_keys=1)
+    valid = s_v != _I32_MAX
+    iota = jnp.arange(E, dtype=jnp.int32)
+    head = valid & jnp.concatenate(
+        [jnp.ones((1,), bool), s_v[1:] != s_v[:-1]])
+    last = valid & jnp.concatenate(
+        [s_v[:-1] != s_v[1:], jnp.ones((1,), bool)])
+    seg_start = jax.lax.cummax(jnp.where(head, iota, 0))
+    seg_end = jax.lax.cummin(
+        jnp.where(last, iota, _I32_MAX), reverse=True)
+    count = seg_end - seg_start + 1
+    rank = iota - seg_start
+    deg_v = degrees[jnp.clip(s_v, 0, m_slab - 1)]
+    fits = valid & (deg_v + count <= R)
+    # appends: col >= R or row >= m_slab are dropped by the scatter
+    col = jnp.where(fits, deg_v + rank, R)
+    nbrs = nbrs.at[s_v, col].set(s_u, mode="drop")
+    degrees = degrees.at[jnp.where(head & fits, s_v, _I32_MAX)].add(
+        jnp.where(head & fits, count, 0), mode="drop")
+
+    # 5) overfull targets: RobustPrune(current neighbors + reverse sources)
+    #    with user alpha (ref: index.h:297-306). Compact segment heads to the
+    #    front; prune in cond-gated chunks so cost tracks the true count.
+    over = head & ~fits
+    pos = jax.lax.sort(jnp.where(over, iota, _I32_MAX))
+    o_chunks = -(-E // chunk)
+    pos = pos.reshape(o_chunks, chunk)
+
+    def over_chunk(carry, pc):
+        nbrs, degrees = carry
+        act = pc != _I32_MAX
+
+        def run(nbrs_degs):
+            nbrs, degrees = nbrs_degs
+            p = jnp.clip(pc, 0, E - 1)
+            v_o = s_v[p]
+            v_safe = jnp.clip(v_o, 0, m_slab - 1)
+            cnt = count[p]
+            old = nbrs[v_safe]  # [chunk, R] (untouched: segment didn't fit)
+            t = jnp.arange(rev_cap - R, dtype=jnp.int32)
+            take = act[:, None] & (t[None, :] < jnp.minimum(cnt, rev_cap - R)[:, None])
+            rev = jnp.where(
+                take, s_u[jnp.clip(p[:, None] + t[None, :], 0, E - 1)], -1)
+            cand = jnp.concatenate(
+                [jnp.where(act[:, None], old, -1), rev], axis=1)
+            p_in = jnp.where(act, v_o, _I32_MAX)
+            pruned, _ = robust_prune(
+                data, norms_sq, s2g, p_in, cand, alpha, R=R, metric=metric,
+                norm_col=norm_col)
+            idx = jnp.where(act, v_o, _I32_MAX)
+            nbrs = nbrs.at[idx].set(pruned, mode="drop")
+            degrees = degrees.at[idx].set(
+                (pruned >= 0).sum(axis=1, dtype=jnp.int32), mode="drop")
+            return nbrs, degrees
+
+        nbrs, degrees = jax.lax.cond(
+            act.any(), run, lambda nd: nd, (nbrs, degrees))
+        return (nbrs, degrees), None
+
+    (nbrs, degrees), _ = jax.lax.scan(over_chunk, (nbrs, degrees), pos)
+    return nbrs, degrees
 
 
 def build_vamana_graph(
@@ -160,15 +248,6 @@ def build_vamana_graph(
         m_slab == ps.n
         and np.array_equal(slab_to_global, np.arange(m_slab))
     )
-    g = SlabGraph(
-        nbrs_dev=jnp.full((m_slab, R), -1, dtype=jnp.int32),
-        slab_to_global_dev=s2g_dev,
-        nbrs_host=np.full((m_slab, R), -1, dtype=np.int32),
-        degrees=np.zeros((m_slab,), dtype=np.int32),
-        bucket_slab_offsets=np.asarray(bucket_slab_offsets),
-        slab_to_global_host=slab_to_global.astype(np.int64),
-        identity_s2g=identity,
-    )
 
     # per-bucket random insertion orders + aligned schedules
     # (start point = bucket slab start, set before shuffling; ref: index.h:128)
@@ -180,10 +259,10 @@ def build_vamana_graph(
     n_steps = max(len(s) for s in schedules)
     bucket_starts = bucket_slab_offsets[:-1].astype(np.int32)
 
-    # ONE padded batch shape for the whole build: every insert step, prune
-    # chunk, and scatter pads to the same size, so the compiler sees a single
-    # (mp, ...) shape per kernel instead of one per pow2 batch size (cold
-    # compiles over the remote-compile path dominate otherwise)
+    # ONE padded batch shape for the whole build: every insert step pads to
+    # the same size, so the compiler sees a single (mp, ...) shape instead of
+    # one per pow2 batch size (cold compiles over the remote-compile path
+    # dominate otherwise)
     mb_max = max(
         sum(s[t][1] - s[t][0] for s in schedules if t < len(s))
         for t in range(n_steps)
@@ -191,6 +270,10 @@ def build_vamana_graph(
     mp = next_pow2(max(mb_max, 64))
     chunk = min(PRUNE_CHUNK, mp)
     rev_cap = next_pow2(2 * R)  # reverse-edge prune candidate width
+
+    nbrs_dev = jnp.full((m_slab, R), -1, dtype=jnp.int32)
+    degrees_dev = jnp.zeros((m_slab,), dtype=jnp.int32)
+    alpha_dev = jnp.float32(alpha)
 
     for t in range(n_steps):
         ins_list, start_list = [], []
@@ -207,97 +290,28 @@ def build_vamana_graph(
         act_p = np.zeros((mp,), dtype=bool)
         ins_p[:mb], st_p[:mb], act_p[:mb] = inserts, starts, True
 
-        # 1) insertion beam searches against the current graph (device)
-        ins_dev = jnp.asarray(ins_p)
-        q_gid = s2g_dev[jnp.clip(ins_dev, 0, m_slab - 1)]
-        queries = ps.data[q_gid].astype(jnp.float32)
-        res = batched_beam_search(
-            ps.data, ps.norms_sq, g.nbrs_dev, s2g_dev, queries,
-            jnp.asarray(st_p),
-            beam=L, k=0, cut=jnp.float32(1.0), limit=jnp.int32(m_slab),
-            metric=metric, active_in=jnp.asarray(act_p), exclude=ins_dev,
-            return_visited=True, visited_cap=v_cap,
-            expand=default_expand(L),
+        nbrs_dev, degrees_dev = _insert_step(
+            nbrs_dev, degrees_dev,
+            ps.data, ps.norms_sq, s2g_dev,
+            jnp.asarray(ins_p), jnp.asarray(st_p), jnp.asarray(act_p),
+            alpha_dev,
+            R=R, L=L, metric=metric, v_cap=v_cap, chunk=chunk,
+            rev_cap=rev_cap,
             norm_col=ps.norm_col if ps.norm_col >= 0 else None,
-            identity_map=identity,
+            identity=identity, expand=default_expand(L),
         )
-        visited = np.asarray(res.visited_ids)[:mb]
-        visited = np.where(visited == int(EMPTY_ID), -1, visited).astype(np.int32)
-
-        # 2) RobustPrune the visited lists -> new out-edges (device)
-        new_out, new_d = _prune_batched(
-            ps, s2g_dev, inserts, visited, alpha, R, metric, chunk=chunk
-        )
-
-        # 3) set out-edges of the inserted nodes — host mirror for the
-        #    bookkeeping below, plus an in-place device scatter (donated
-        #    buffer) instead of re-uploading the whole [m, R] adjacency
-        g.nbrs_host[inserts] = new_out
-        g.degrees[inserts] = (new_out >= 0).sum(axis=1)
-        g.nbrs_dev = _scatter_rows(
-            g.nbrs_dev,
-            jnp.asarray(_pad_to(inserts.astype(np.int32), m_slab, mp)),
-            jnp.asarray(_pad_to(new_out, -1, mp, R)),
-        )
-
-        # 4) reverse edges grouped by target (host bookkeeping,
-        #    ref: index.h:279-306)
-        u = np.repeat(inserts, R)
-        v = new_out.reshape(-1)
-        ok = v >= 0
-        u, v = u[ok], v[ok]
-        order = np.argsort(v, kind="stable")
-        u, v = u[order], v[order]
-        uniq_v, seg_starts, counts = np.unique(v, return_index=True, return_counts=True)
-
-        fits = g.degrees[uniq_v] + counts <= R
-        rank = np.arange(len(v)) - np.repeat(seg_starts, counts)
-        fits_e = np.repeat(fits, counts)
-        # appends: extend the adjacency rows in place (vectorized scatter)
-        if fits_e.any():
-            rows = v[fits_e]
-            cols = g.degrees[rows] + rank[fits_e]
-            g.nbrs_host[rows, cols] = u[fits_e]
-            g.degrees[uniq_v[fits]] += counts[fits]
-            g.nbrs_dev = _scatter_edges(
-                g.nbrs_dev,
-                jnp.asarray(_pad_to(rows.astype(np.int32), m_slab, mp * R)),
-                jnp.asarray(_pad_to(cols.astype(np.int32), 0, mp * R)),
-                jnp.asarray(_pad_to(u[fits_e].astype(np.int32), -1, mp * R)),
-            )
-        # overfull: RobustPrune(old neighbors + reverse candidates) with user alpha
-        over_v = uniq_v[~fits]
-        if len(over_v):
-            over_c = counts[~fits]
-            # fixed candidate width: old neighbors + up to rev_cap - R reverse
-            # candidates (overflow beyond that is dropped; the reference keeps
-            # all, but >rev_cap-R same-batch reverse edges to one node is
-            # vanishingly rare and graph quality is recall-equivalent)
-            cand = np.full((len(over_v), rev_cap), -1, dtype=np.int32)
-            cand[:, :R] = g.nbrs_host[over_v]
-            over_e = np.repeat(~fits, counts)
-            row_of = np.repeat(np.arange(len(over_v)), over_c)
-            keep = rank[over_e] < rev_cap - R
-            cand[row_of[keep], R + rank[over_e][keep]] = u[over_e][keep]
-            pruned, _ = _prune_batched(
-                ps, s2g_dev, over_v.astype(np.int32), cand, alpha, R, metric,
-                chunk=chunk,
-            )
-            g.nbrs_host[over_v] = pruned
-            g.degrees[over_v] = (pruned >= 0).sum(axis=1)
-            # over_v can exceed one batch width; scatter in mp-sized chunks
-            for lo in range(0, len(over_v), mp):
-                g.nbrs_dev = _scatter_rows(
-                    g.nbrs_dev,
-                    jnp.asarray(
-                        _pad_to(over_v[lo : lo + mp].astype(np.int32), m_slab, mp)
-                    ),
-                    jnp.asarray(_pad_to(pruned[lo : lo + mp], -1, mp, R)),
-                )
         if verbose:
-            print(f"  vamana step {t + 1}/{n_steps}: inserted {mb}, "
-                  f"visited avg {np.asarray(res.num_visited)[:mb].mean():.1f}")
+            print(f"  vamana step {t + 1}/{n_steps}: inserted {mb}")
 
+    g = SlabGraph(
+        nbrs_dev=nbrs_dev,
+        slab_to_global_dev=s2g_dev,
+        nbrs_host=np.asarray(nbrs_dev),
+        degrees=np.asarray(degrees_dev),
+        bucket_slab_offsets=np.asarray(bucket_slab_offsets),
+        slab_to_global_host=slab_to_global.astype(np.int64),
+        identity_s2g=identity,
+    )
     # final pass: sort each adjacency row by distance (ref: index.h:131-134)
     g.nbrs_host = sort_adjacency_rows(ps, g)
     g.sync_to_device()

@@ -3,9 +3,10 @@
 TPU-native re-design of the reference's RobustPrune
 (ref: ParlayANN/algorithms/vamana/index.h:61-108). The greedy scan is
 inherently sequential in its *choices* (at most R of them), so we run a
-fixed R-step fori_loop; everything inside a step — the alpha-domination test
-against all C candidates — is one batched MXU matvec over pre-gathered
-candidate vectors, vectorized across a whole batch of m nodes at once.
+fixed R-step fori_loop. All pairwise candidate distances are precomputed
+as ONE batched [m, C, C] MXU matmul (Gram matrix); each greedy step is
+then a single-row gather + VPU compare, so the candidate vectors are read
+from HBM once instead of once per step.
 
 All distances here are TRUE distances (L2: ||p-c||^2 including both norms;
 MIPS: -p.c): the domination test alpha*d(p*, c) <= d(p, c) compares distances
@@ -95,6 +96,24 @@ def robust_prune(
     s_vecs = jnp.take_along_axis(c_vecs, s_pos[..., None], axis=1)
     s_norms = jnp.take_along_axis(c_norms, s_pos, axis=1)
 
+    # Full pairwise candidate distance matrix D[m, i, j] = d(s_i, s_j) via one
+    # batched MXU matmul — the greedy loop below then only gathers single rows
+    # of D, so s_vecs is read from HBM once instead of R times.
+    lhs = s_vecs
+    if norm_col is not None:  # "query" side of the dot stays norm-free
+        lhs = lhs.at[..., norm_col].set(0.0)
+    gram = jax.lax.dot_general(
+        lhs,
+        s_vecs.astype(lhs.dtype),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=MATMUL_PRECISION,
+    )  # [m, C, C]
+    if metric == "l2":
+        pair_d = s_norms[:, :, None] + s_norms[:, None, :] - 2.0 * gram
+    else:
+        pair_d = -gram
+
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (m, C), 1)
 
     def step(i, state):
@@ -106,11 +125,7 @@ def robust_prune(
         out_ids = out_ids.at[:, i].set(jnp.where(any_alive, chosen_id, -1))
         out_d = out_d.at[:, i].set(jnp.where(any_alive, chosen_d, jnp.inf))
 
-        chosen_vec = jnp.take_along_axis(s_vecs, idx[:, None, None], axis=1)[:, 0]
-        chosen_norm = jnp.take_along_axis(s_norms, idx[:, None], axis=1)[:, 0]
-        if norm_col is not None:  # query side of the domination dot
-            chosen_vec = chosen_vec.at[:, norm_col].set(0.0)
-        d_star = _true_dists(chosen_vec, chosen_norm, s_vecs, s_norms, metric)
+        d_star = jnp.take_along_axis(pair_d, idx[:, None, None], axis=1)[:, 0]
         dominated = alpha * d_star <= s_d
         # the chosen element is consumed regardless of self-domination
         consumed = iota_c == idx[:, None]
