@@ -156,6 +156,26 @@ def _insert_step(
     degrees = degrees.at[ins_p].set(
         (new_out >= 0).sum(axis=1, dtype=jnp.int32), mode="drop")
 
+    nbrs, degrees = _apply_reverse_edges(
+        nbrs, degrees, data, norms_sq, s2g, ins_p, new_out, alpha,
+        R=R, metric=metric, chunk=chunk, rev_cap=rev_cap, norm_col=norm_col)
+    return nbrs, degrees
+
+
+def _apply_reverse_edges(
+    nbrs, degrees, data, norms_sq, s2g,
+    ins_p,  # [mp] int32 inserted slab ids (pad = m_slab)
+    new_out,  # [mp, R] their freshly pruned out-edges (-1 pad)
+    alpha,
+    *, R, metric, chunk, rev_cap, norm_col,
+):
+    """Reverse-edge bookkeeping on device (ref: index.h:279-306): group the
+    (u -> v) edges by target v, append where the target has room, RobustPrune
+    (old neighbors + reverse sources) where it does not. Tested against a
+    NumPy group-by-key oracle in tests/test_vamana.py."""
+    m_slab = nbrs.shape[0]
+    mp = ins_p.shape[0]
+
     # 4) reverse edges grouped by target: device sort + segmented ranks
     #    (replaces parlay::group_by_key, ref: index.h:279-291)
     E = mp * R

@@ -103,3 +103,74 @@ def test_postfilter_vamana_recall(rng, gt_fn, metric):
         for i in range(nq)
     ])
     assert recall > 0.85, f"postfilter recall {recall} ({metric})"
+
+
+def test_reverse_edges_match_groupby_oracle(rng):
+    """The on-device reverse-edge bookkeeping (sort + segmented ranks +
+    cond-gated overfull prune) must match a NumPy group-by-key oracle that
+    replicates the reference's batch_insert phase 2/3 (ref: index.h:279-306),
+    sharing the same robust_prune op for the overfull re-prunes."""
+    import functools
+    import jax
+
+    from rangefilteredann_tpu.models.vamana import _apply_reverse_edges
+
+    n, d, R, mp = 300, 8, 6, 64
+    rev_cap = 16
+    points = rng.normal(size=(n, d)).astype(np.float32)
+    ps = make_pointset(points, "l2")
+    s2g = jnp.arange(n, dtype=jnp.int32)
+    alpha = jnp.float32(1.1)
+
+    # adjacency with random fill levels, inserts with partially padded rows
+    nbrs = np.full((n, R), -1, dtype=np.int32)
+    for i in range(n):
+        deg = rng.integers(0, R + 1)
+        if deg:
+            nbrs[i, :deg] = rng.choice(n, size=deg, replace=False)
+    degrees = (nbrs >= 0).sum(axis=1).astype(np.int32)
+    mb = 50
+    ins = np.full((mp,), n, dtype=np.int32)
+    ins[:mb] = rng.choice(n, size=mb, replace=False)
+    new_out = np.full((mp, R), -1, dtype=np.int32)
+    for i in range(mb):
+        deg = rng.integers(1, R + 1)
+        new_out[i, :deg] = rng.choice(n, size=deg, replace=False)
+
+    fn = functools.partial(
+        _apply_reverse_edges, R=R, metric="l2", chunk=16, rev_cap=rev_cap,
+        norm_col=ps.norm_col)
+    got_n, got_d = jax.jit(fn)(
+        jnp.asarray(nbrs), jnp.asarray(degrees), ps.data, ps.norms_sq, s2g,
+        jnp.asarray(ins), jnp.asarray(new_out), alpha)
+    got_n, got_d = np.asarray(got_n), np.asarray(got_d)
+
+    # ---- oracle: stable group-by-target, append or re-prune ----
+    want_n, want_d = nbrs.copy(), degrees.copy()
+    u = np.repeat(ins, R)
+    v = new_out.reshape(-1)
+    ok = v >= 0
+    u, v = u[ok], v[ok]
+    order = np.argsort(v, kind="stable")
+    u, v = u[order], v[order]
+    uniq, seg_starts, counts = np.unique(v, return_index=True,
+                                         return_counts=True)
+    for tgt, s0, c in zip(uniq, seg_starts, counts):
+        srcs = u[s0 : s0 + c]
+        if want_d[tgt] + c <= R:
+            want_n[tgt, want_d[tgt] : want_d[tgt] + c] = srcs
+            want_d[tgt] += c
+        else:
+            cand = np.full((1, rev_cap), -1, dtype=np.int32)
+            cand[0, : want_d[tgt]] = want_n[tgt, : want_d[tgt]]
+            keep = srcs[: rev_cap - R]
+            cand[0, R : R + len(keep)] = keep
+            pruned, _ = robust_prune(
+                ps.data, ps.norms_sq, s2g,
+                jnp.asarray([tgt], dtype=jnp.int32), jnp.asarray(cand),
+                alpha, R=R, metric="l2", norm_col=ps.norm_col)
+            want_n[tgt] = np.asarray(pruned)[0]
+            want_d[tgt] = (want_n[tgt] >= 0).sum()
+
+    assert np.array_equal(got_d, want_d)
+    assert np.array_equal(got_n, want_n)
