@@ -36,6 +36,9 @@ def window_gather_max() -> int:
 MIN_CLASS = 64  # smallest padded window / batch size
 # Cap on gathered bytes per windowed_bruteforce launch (fp32), to bound HBM use.
 GATHER_BYTES_BUDGET = 1 << 30
+# Queries per pipelined full-scan launch (2 Pallas QBLOCKs): chunks are
+# enqueued back-to-back so host->device uploads overlap kernel execution.
+SCAN_CHUNK = 512
 
 
 def next_pow2(x: int) -> int:
@@ -101,27 +104,39 @@ def batched_range_bruteforce(
     # --- large windows: tiled full scan ---
     if (~small).any():
         sel = np.nonzero(~small)[0]
-        qpad = next_pow2(max(len(sel), MIN_CLASS))
-        qs = np.zeros((qpad, d_pad), dtype=np.float32)
-        ss = np.zeros((qpad,), dtype=np.int32)
-        ee = np.zeros((qpad,), dtype=np.int32)
-        qs[: len(sel)] = queries_padded[sel]
-        ss[: len(sel)] = starts[sel]
-        ee[: len(sel)] = ends[sel]
-        if jax.default_backend() == "tpu":
-            # fused Pallas kernel: matmul + window mask + in-VMEM top-k
-            d, i = pallas_scan_bruteforce(
-                data, norms_sq, jnp.asarray(qs), jnp.asarray(ss),
-                jnp.asarray(ee), k=k, metric=metric,
-            )
-        else:
-            d, i = scan_bruteforce(
-                data, norms_sq, jnp.asarray(qs), jnp.asarray(ss),
-                jnp.asarray(ee), k=k, metric=metric,
-            )
-        d, i = jax.device_get((d, i))
-        out_d[sel] = d[: len(sel)]
-        out_i[sel] = i[: len(sel)]
+        # midpoint-sort so each pipelined chunk covers a tight tile union,
+        # then launch fixed-size chunks WITHOUT syncing between them: uploads
+        # of chunk i+1 overlap the kernel of chunk i (the tunnel's upload
+        # latency otherwise serializes with compute).
+        sel = sel[np.argsort(starts[sel] + ends[sel], kind="stable")]
+        on_tpu = jax.default_backend() == "tpu"
+        chunk_q = SCAN_CHUNK if len(sel) > SCAN_CHUNK else len(sel)
+        futures = []
+        for lo in range(0, len(sel), chunk_q):
+            chunk = sel[lo : lo + chunk_q]
+            qpad = next_pow2(max(len(chunk), MIN_CLASS))
+            qs = np.zeros((qpad, d_pad), dtype=np.float32)
+            ss = np.zeros((qpad,), dtype=np.int32)
+            ee = np.zeros((qpad,), dtype=np.int32)
+            qs[: len(chunk)] = queries_padded[chunk]
+            ss[: len(chunk)] = starts[chunk]
+            ee[: len(chunk)] = ends[chunk]
+            if on_tpu:
+                # fused Pallas kernel: matmul + window mask + in-VMEM top-k
+                d, i = pallas_scan_bruteforce(
+                    data, norms_sq, jnp.asarray(qs), jnp.asarray(ss),
+                    jnp.asarray(ee), k=k, metric=metric,
+                )
+            else:
+                d, i = scan_bruteforce(
+                    data, norms_sq, jnp.asarray(qs), jnp.asarray(ss),
+                    jnp.asarray(ee), k=k, metric=metric,
+                )
+            futures.append((chunk, d, i))
+        fetched = jax.device_get([(d, i) for _, d, i in futures])
+        for (chunk, _, _), (d, i) in zip(futures, fetched):
+            out_d[chunk] = d[: len(chunk)]
+            out_i[chunk] = i[: len(chunk)]
     return out_d, out_i
 
 
