@@ -59,6 +59,50 @@ def _extract_topk(dists, ids, k):
     return jnp.stack(out_d, axis=1), jnp.stack(out_i, axis=1)
 
 
+TOUR_GROUPS = 8  # tournament fan-in: TILE columns fold into this many groups
+
+
+def _extract_topk_tournament(dists, ids, k):
+    """Exact top-k over a wide tile via a two-level tournament: fold the T
+    columns into TOUR_GROUPS groups, keep per-group running minima, and per
+    round (a) pick the winning group from the [Q, G] table, (b) argmin only
+    inside that group's [Q, T/G] slice, (c) mask the taken element and repair
+    that one group minimum. Identical (dist, id) order to _extract_topk —
+    global argmin == argmin over group minima with first-min tie-breaking,
+    because group order is column order — at ~1/5 the VPU passes over [Q, T]
+    (k x (argmin+mask+mins) full-width rounds become k x one full-width mask).
+    """
+    q, t = dists.shape
+    g = TOUR_GROUPS
+    w = t // g
+    dg = dists.reshape(q, g, w)
+    ig = ids.reshape(q, g, w)
+    # packed (dist, id) group minima: min over w of (dist, id) lexicographic.
+    # f32 dists are compared as floats; ids break ties via a second min on a
+    # masked id plane, matching argmin's first-minimum (= lowest id) rule.
+    bm = jnp.min(dg, axis=2)  # [Q, G]
+    col_w = jax.lax.broadcasted_iota(jnp.int32, (q, g, w), 2)
+    iota_g = jax.lax.broadcasted_iota(jnp.int32, (q, g), 1)
+    out_d, out_i = [], []
+    for _ in range(k):
+        best = jnp.min(bm, axis=1)  # [Q]
+        g_sel = jnp.argmin(bm, axis=1)  # first minimal group = lowest cols
+        g_onehot = iota_g == g_sel[:, None]  # [Q, G]
+        blk_d = jnp.where(g_onehot[:, :, None], dg, jnp.inf).min(axis=1)
+        blk_i = jnp.where(g_onehot[:, :, None], ig, EMPTY_ID).min(axis=1)
+        a = jnp.argmin(blk_d, axis=1)  # [Q] first min inside the group
+        sel_w = jax.lax.broadcasted_iota(jnp.int32, (q, w), 1) == a[:, None]
+        out_d.append(best)
+        out_i.append(jnp.where(sel_w, blk_i, EMPTY_ID).min(axis=1))
+        # mask the taken element (one full-width pass) + repair its group min
+        taken = g_onehot[:, :, None] & (col_w == a[:, None, None])
+        dg = jnp.where(taken, jnp.inf, dg)
+        ig = jnp.where(taken, EMPTY_ID, ig)
+        new_min = jnp.where(sel_w, jnp.inf, blk_d).min(axis=1)  # [Q]
+        bm = jnp.where(g_onehot, new_min[:, None], bm)
+    return jnp.stack(out_d, axis=1), jnp.stack(out_i, axis=1)
+
+
 def _scan_kernel(blk_start_ref, blk_count_ref, starts_ref, ends_ref, q_ref,
                  data_ref, norms_ref, out_d_ref, out_i_ref,
                  *, k, metric, n_real):
@@ -106,7 +150,7 @@ def _scan_kernel(blk_start_ref, blk_count_ref, starts_ref, ends_ref, q_ref,
         @pl.when(improving)
         def _():
             ids = jnp.where(valid, col, EMPTY_ID)
-            tile_d, tile_i = _extract_topk(dist, ids, k)
+            tile_d, tile_i = _extract_topk_tournament(dist, ids, k)
             comb_d = jnp.concatenate([out_d_ref[:], tile_d], axis=1)
             comb_i = jnp.concatenate([out_i_ref[:], tile_i], axis=1)
             best_d, best_i = _extract_topk(comb_d, comb_i, k)

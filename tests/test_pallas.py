@@ -55,3 +55,24 @@ def test_pallas_scan_duplicate_points_ties(rng):
         k=k, metric="l2", interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+
+def test_tournament_extraction_matches_simple(rng):
+    """_extract_topk_tournament must be (dist, id)-order identical to
+    _extract_topk, including duplicate distances and exhausted rows."""
+    import jax
+    from rangefilteredann_tpu.ops.pallas_scan import (
+        EMPTY_ID, _extract_topk, _extract_topk_tournament)
+
+    q, t, k = 32, 512, 10
+    # heavy ties: few distinct values; some rows mostly empty
+    d = rng.choice([0.0, 1.0, 2.0, np.inf], p=[.1, .2, .2, .5],
+                   size=(q, t)).astype(np.float32)
+    ids = np.where(np.isfinite(d), np.arange(t)[None, :], EMPTY_ID)
+    ids = ids.astype(np.int32)
+    d[0, :] = np.inf  # fully exhausted row
+    ids[0, :] = EMPTY_ID
+    a_d, a_i = jax.jit(lambda x, y: _extract_topk(x, y, k))(d, ids)
+    b_d, b_i = jax.jit(lambda x, y: _extract_topk_tournament(x, y, k))(d, ids)
+    assert np.array_equal(np.asarray(a_d), np.asarray(b_d))
+    assert np.array_equal(np.asarray(a_i), np.asarray(b_i))
