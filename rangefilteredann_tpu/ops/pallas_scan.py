@@ -59,47 +59,56 @@ def _extract_topk(dists, ids, k):
     return jnp.stack(out_d, axis=1), jnp.stack(out_i, axis=1)
 
 
-TOUR_GROUPS = 8  # tournament fan-in: TILE columns fold into this many groups
+TOUR_W = 128  # tournament group width (one lane tile; Mosaic-friendly 2D slices)
 
 
 def _extract_topk_tournament(dists, ids, k):
     """Exact top-k over a wide tile via a two-level tournament: fold the T
-    columns into TOUR_GROUPS groups, keep per-group running minima, and per
-    round (a) pick the winning group from the [Q, G] table, (b) argmin only
-    inside that group's [Q, T/G] slice, (c) mask the taken element and repair
-    that one group minimum. Identical (dist, id) order to _extract_topk —
-    global argmin == argmin over group minima with first-min tie-breaking,
-    because group order is column order — at ~1/5 the VPU passes over [Q, T]
-    (k x (argmin+mask+mins) full-width rounds become k x one full-width mask).
+    columns into G = T/128 lane-aligned groups, keep per-group running minima,
+    and per round (a) pick the winning group from the [Q, G] table, (b) argmin
+    only inside that group's [Q, 128] slice, (c) mask the taken element
+    (one full-width pass) and repair that one group minimum. Identical
+    (dist, id) order to _extract_topk — global argmin == argmin over group
+    minima with first-min tie-breaking, because group order is column order —
+    at a fraction of the full-width VPU passes. Pure 2D ops throughout
+    (Mosaic rejects cross-lane reshapes inside Pallas kernels).
     """
     q, t = dists.shape
-    g = TOUR_GROUPS
-    w = t // g
-    dg = dists.reshape(q, g, w)
-    ig = ids.reshape(q, g, w)
-    # packed (dist, id) group minima: min over w of (dist, id) lexicographic.
-    # f32 dists are compared as floats; ids break ties via a second min on a
-    # masked id plane, matching argmin's first-minimum (= lowest id) rule.
-    bm = jnp.min(dg, axis=2)  # [Q, G]
-    col_w = jax.lax.broadcasted_iota(jnp.int32, (q, g, w), 2)
+    w = min(TOUR_W, t)
+    g = t // w
+    groups_d = [dists[:, i * w : (i + 1) * w] for i in range(g)]
+    groups_i = [ids[:, i * w : (i + 1) * w] for i in range(g)]
+    bm = jnp.concatenate(
+        [jnp.min(gd, axis=1, keepdims=True) for gd in groups_d], axis=1
+    )  # [Q, G]
     iota_g = jax.lax.broadcasted_iota(jnp.int32, (q, g), 1)
+    col_t = jax.lax.broadcasted_iota(jnp.int32, (q, t), 1)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (q, w), 1)
     out_d, out_i = [], []
     for _ in range(k):
         best = jnp.min(bm, axis=1)  # [Q]
         g_sel = jnp.argmin(bm, axis=1)  # first minimal group = lowest cols
-        g_onehot = iota_g == g_sel[:, None]  # [Q, G]
-        blk_d = jnp.where(g_onehot[:, :, None], dg, jnp.inf).min(axis=1)
-        blk_i = jnp.where(g_onehot[:, :, None], ig, EMPTY_ID).min(axis=1)
+        # select the winning group's slice (G-way select over [Q, w])
+        blk_d = groups_d[0]
+        blk_i = groups_i[0]
+        for gi in range(1, g):
+            pick = (g_sel == gi)[:, None]
+            blk_d = jnp.where(pick, groups_d[gi], blk_d)
+            blk_i = jnp.where(pick, groups_i[gi], blk_i)
         a = jnp.argmin(blk_d, axis=1)  # [Q] first min inside the group
-        sel_w = jax.lax.broadcasted_iota(jnp.int32, (q, w), 1) == a[:, None]
+        sel_w = iota_w == a[:, None]
         out_d.append(best)
         out_i.append(jnp.where(sel_w, blk_i, EMPTY_ID).min(axis=1))
-        # mask the taken element (one full-width pass) + repair its group min
-        taken = g_onehot[:, :, None] & (col_w == a[:, None, None])
-        dg = jnp.where(taken, jnp.inf, dg)
-        ig = jnp.where(taken, EMPTY_ID, ig)
+        # mask the taken element: one full-width pass over dists/ids, then
+        # re-derive the taken group's slice min from the updated planes
+        taken_col = g_sel * w + a
+        taken = col_t == taken_col[:, None]
+        dists = jnp.where(taken, jnp.inf, dists)
+        ids = jnp.where(taken, EMPTY_ID, ids)
+        groups_d = [dists[:, i * w : (i + 1) * w] for i in range(g)]
+        groups_i = [ids[:, i * w : (i + 1) * w] for i in range(g)]
         new_min = jnp.where(sel_w, jnp.inf, blk_d).min(axis=1)  # [Q]
-        bm = jnp.where(g_onehot, new_min[:, None], bm)
+        bm = jnp.where(iota_g == g_sel[:, None], new_min[:, None], bm)
     return jnp.stack(out_d, axis=1), jnp.stack(out_i, axis=1)
 
 
