@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.beam_search import batched_beam_search, default_expand
+from ..ops.beam_search import batched_beam_search, build_expand
 from ..ops.robust_prune import robust_prune
 from ..ops.distances import gathered_distances
 from ..ops.topk import EMPTY_ID
@@ -318,7 +318,7 @@ def build_vamana_graph(
             R=R, L=L, metric=metric, v_cap=v_cap, chunk=chunk,
             rev_cap=rev_cap,
             norm_col=ps.norm_col if ps.norm_col >= 0 else None,
-            identity=identity, expand=default_expand(L),
+            identity=identity, expand=build_expand(L),
         )
         if verbose:
             print(f"  vamana step {t + 1}/{n_steps}: inserted {mb}")

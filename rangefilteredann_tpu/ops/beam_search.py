@@ -39,12 +39,23 @@ from .topk import EMPTY_ID
 
 
 def default_expand(beam: int) -> int:
-    """Nodes to expand per step for a given beam — the sequential-depth vs
-    wasted-expansion tradeoff. One node per step (the reference's order,
-    beamSearch.h:108) leaves the MXU idle between tiny launches at large
-    beams; expanding beam/16 nodes (capped at 8) cuts while_loop trip count
-    ~8x with negligible recall change (graph searches re-converge)."""
-    return max(1, min(8, beam // 16))
+    """Nodes to expand per QUERY step: 1, the reference's order
+    (beamSearch.h:108). Measured on the v5e chip (tools/profile_tpu.py, real
+    200k Vamana graph): single-expansion beats multi-expansion at every beam
+    (beam 40: 148 ms vs 200/221/214 ms for expand 2/4/8 per 2048-query batch)
+    — each step's gather+merge cost grows faster with expansion width than
+    the while_loop trip count shrinks, and multi-expansion also visits nodes
+    a converged search would never touch."""
+    del beam
+    return 1
+
+
+def build_expand(L: int) -> int:
+    """Nodes to expand per step for BUILD insertion searches. Kept at the
+    multi-expansion schedule the cached graphs were built with (changing it
+    reorders visited lists and would silently diverge from on-disk caches
+    keyed only by build params)."""
+    return max(1, min(8, L // 16))
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
