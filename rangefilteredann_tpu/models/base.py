@@ -18,9 +18,9 @@ import numpy as np
 import jax
 
 from ..ops.bruteforce import scan_bruteforce, windowed_bruteforce
-from ..ops.pallas_scan import pallas_scan_bruteforce
+from ..ops.pallas_scan import host_max_tiles, pallas_scan_bruteforce
 from ..ops.topk import EMPTY_ID as _EMPTY_ID
-from ..utils.data import METRIC_L2
+from ..utils.data import METRIC_L2, pad_dim
 
 EMPTY_ID = int(_EMPTY_ID)
 
@@ -122,10 +122,16 @@ def batched_range_bruteforce(
             ss[: len(chunk)] = starts[chunk]
             ee[: len(chunk)] = ends[chunk]
             if on_tpu:
-                # fused Pallas kernel: matmul + window mask + in-VMEM top-k
+                # fused Pallas kernel: matmul + window mask + in-VMEM top-k.
+                # d_eff: stream only the lanes holding real dims — the fused
+                # ||x||^2 column region beyond them is dead weight here
+                # (2x at d=128, where d_pad is 256). max_tiles bounds the
+                # grid's tile dimension to this chunk's true per-block need.
                 d, i = pallas_scan_bruteforce(
                     data, norms_sq, jnp.asarray(qs), jnp.asarray(ss),
                     jnp.asarray(ee), k=k, metric=metric,
+                    d_eff=None if norm_col is None else pad_dim(norm_col),
+                    max_tiles=host_max_tiles(ss, ee, data.shape[0]),
                 )
             else:
                 d, i = scan_bruteforce(

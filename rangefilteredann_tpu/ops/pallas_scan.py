@@ -37,7 +37,7 @@ from ..utils.data import METRIC_L2, METRIC_MIPS
 EMPTY_ID = 2**31 - 1
 
 TILE = 512  # points per grid step
-QBLOCK = 256  # queries per grid step; [QBLOCK, TILE] f32 dists = 512 KB VMEM
+QBLOCK = 128  # queries per grid step; [QBLOCK, TILE] f32 dists = 256 KB VMEM
 
 
 def _extract_topk(dists, ids, k):
@@ -112,6 +112,31 @@ def _extract_topk_tournament(dists, ids, k):
     return jnp.stack(out_d, axis=1), jnp.stack(out_i, axis=1)
 
 
+def host_max_tiles(starts: "np.ndarray", ends: "np.ndarray", n: int,
+                   round_to: int = 32) -> int:
+    """Host-side replica of the kernel's per-block union-tile-count math
+    (same stable midpoint sort, same blocking): the max count over blocks,
+    rounded up to `round_to` so the set of compiled grids stays small. Pass
+    the PADDED starts/ends the kernel will see."""
+    import numpy as np
+
+    q = len(starts)
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+    order = np.argsort(starts + ends, kind="stable")
+    qb = min(q, QBLOCK)
+    sb = starts[order].reshape(-1, qb)
+    eb = ends[order].reshape(-1, qb)
+    nonempty = eb > sb
+    n_tiles = -(-n // TILE)
+    blk_lo = np.min(np.where(nonempty, sb, n), axis=1)
+    blk_hi = np.max(np.where(nonempty, eb, 0), axis=1)
+    blk_start = np.clip(blk_lo // TILE, 0, n_tiles - 1)
+    blk_end = np.clip(-(-blk_hi // TILE), 1, n_tiles)
+    count = int(np.maximum(blk_end - blk_start, 1).max())
+    return min(n_tiles, -(-count // round_to) * round_to)
+
+
 def _scan_kernel(blk_start_ref, blk_count_ref, starts_ref, ends_ref, q_ref,
                  data_ref, norms_ref, out_d_ref, out_i_ref,
                  *, k, metric, n_real):
@@ -168,7 +193,7 @@ def _scan_kernel(blk_start_ref, blk_count_ref, starts_ref, ends_ref, q_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "metric", "interpret")
+    jax.jit, static_argnames=("k", "metric", "interpret", "d_eff", "max_tiles")
 )
 def pallas_scan_bruteforce(
     data: jax.Array,  # [n, d_pad]
@@ -179,6 +204,19 @@ def pallas_scan_bruteforce(
     k: int,
     metric: str,
     interpret: bool = False,
+    max_tiles: "int | None" = None,  # static upper bound on any query block's
+    # tile count (host-computed from the same blocking arithmetic, rounded up
+    # to bound recompiles). The grid's tile dimension otherwise spans ALL
+    # n/TILE tiles, and the predicated skip steps past a block's range cost
+    # ~10us of grid overhead each — at fraction 2^-2 over 200k points that is
+    # 2.6x more grid steps than active ones.
+    d_eff: "int | None" = None,  # lane-aligned width covering the true d:
+    # the kernel streams only data[:, :d_eff] / queries[:, :d_eff]. The point
+    # store fuses ||x||^2 at column d and pads to the next 128 multiple, so
+    # for d = 128 the full d_pad is 256 — streaming it would DOUBLE the MXU
+    # and DMA work on zero columns. This kernel takes its norms from the
+    # separate norms_sq plane, and query rows are zero at and beyond column d
+    # (pad_queries), so any fused-norm column inside [:d_eff] contributes 0.
 ):
     """Fused tiled scan. Returns (dists [Q, k], ids [Q, k] int32), L2 dists in
     the internal shifted form (see ops/distances.py). Same contract as
@@ -186,6 +224,7 @@ def pallas_scan_bruteforce(
     if metric not in (METRIC_L2, METRIC_MIPS):
         raise ValueError(metric)
     n, d_pad = data.shape
+    w_d = d_pad if d_eff is None else min(d_eff, d_pad)  # streamed block width
     q = queries.shape[0]
     n_tiles = -(-n // TILE)
     pad = n_tiles * TILE - n
@@ -228,12 +267,13 @@ def pallas_scan_bruteforce(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_qb, n_tiles),
+        grid=(n_qb, n_tiles if max_tiles is None else min(n_tiles, max_tiles)),
         in_specs=[
             pl.BlockSpec((qb, 1), qrow_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((qb, 1), qrow_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((qb, d_pad), qrow_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, d_pad), tile_map, memory_space=pltpu.VMEM),
+            # only the first w_d lanes stream through VMEM (see d_eff above)
+            pl.BlockSpec((qb, w_d), qrow_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, w_d), tile_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE), norms_map, memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -251,8 +291,8 @@ def pallas_scan_bruteforce(
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * q * (n_tiles * TILE) * d_pad,
-            bytes_accessed=(n_tiles * TILE) * d_pad * 4 + q * d_pad * 4,
+            flops=2 * q * (n_tiles * TILE) * w_d,
+            bytes_accessed=(n_tiles * TILE) * w_d * 4 + q * w_d * 4,
             transcendentals=0,
         ),
     )(

@@ -76,3 +76,29 @@ def test_tournament_extraction_matches_simple(rng):
     b_d, b_i = jax.jit(lambda x, y: _extract_topk_tournament(x, y, k))(d, ids)
     assert np.array_equal(np.asarray(a_d), np.asarray(b_d))
     assert np.array_equal(np.asarray(a_i), np.asarray(b_i))
+
+
+def test_host_max_tiles_grid_matches_full(rng):
+    """A max_tiles-bounded grid must reproduce the full-grid scan exactly
+    (host_max_tiles replicates the kernel's blocking math)."""
+    from rangefilteredann_tpu.ops.pallas_scan import (
+        host_max_tiles, pallas_scan_bruteforce)
+    from rangefilteredann_tpu.utils.data import make_pointset, pad_queries
+
+    n, d, q, k = 4096, 24, 256, 5
+    pts = rng.normal(size=(n, d)).astype(np.float32)
+    ps = make_pointset(pts, "l2")
+    queries = jnp.asarray(pad_queries(
+        rng.normal(size=(q, d)).astype(np.float32), d, ps.d_pad))
+    ss = rng.integers(0, n // 2, size=q).astype(np.int32)
+    ee = (ss + rng.integers(600, n // 2, size=q)).astype(np.int32)
+    mt = host_max_tiles(ss, ee, n)
+    a = pallas_scan_bruteforce(ps.data, ps.norms_sq, queries,
+                               jnp.asarray(ss), jnp.asarray(ee), k, "l2",
+                               interpret=True)
+    b = pallas_scan_bruteforce(ps.data, ps.norms_sq, queries,
+                               jnp.asarray(ss), jnp.asarray(ee), k, "l2",
+                               interpret=True, max_tiles=mt)
+    assert mt < -(-n // 512) + 32  # the bound actually bit
+    assert np.array_equal(np.asarray(a[1]), np.asarray(b[1]))
+    assert np.array_equal(np.asarray(a[0]), np.asarray(b[0]))
