@@ -123,31 +123,11 @@ def doubling_postfilter(
     done = np.zeros(nq, dtype=bool)
     # mirror the per-query loop: run while (survivors < k) and (beam < max)
     done |= cur_beam >= qp.postfiltering_max_beam  # loop never entered
-    while not done.all():
-        for b in np.unique(cur_beam[~done]):
-            sel = np.nonzero(~done & (cur_beam == b))[0]
-            res = _run_beam_batch(
-                ps, graph, queries_padded[sel], q_norms[sel], starts[sel],
-                b, qp.limit, metric, degree_limit=_dl(qp, graph), mesh=mesh,
-            )
-            if stats is not None:
-                ids_for = stat_ids[sel] if stat_ids is not None else sel
-                stats.add_beam_result(ids_for, res)
-            counts, ti, td = _filter_topk(
-                res.frontier_ids, res.frontier_dists, graph,
-                win_lo[sel], win_hi[sel], k,
-            )
-            res_i[sel], res_d[sel] = ti, td
-            enough = counts >= k
-            done[sel[enough]] = True
-            grow = sel[~enough]
-            cur_beam[grow] *= 2
-            done[grow] |= cur_beam[grow] >= qp.postfiltering_max_beam
-    # final pass at beam * final_beam_multiply (ref: postfilter_vamana.h:173-181)
-    final_beam = np.minimum(cur_beam * qp.final_beam_multiply, qp.postfiltering_max_beam)
-    needs_final = final_beam > cur_beam
-    for b in np.unique(final_beam[needs_final]):
-        sel = np.nonzero(needs_final & (final_beam == b))[0]
+
+    def _search_and_filter(sel, b):
+        """Enqueue one dense search + window filter; NO blocking fetch —
+        returns device futures so independent launches pipeline over the
+        tunnel (each blocking sync costs ~30 ms of dispatch floor)."""
         res = _run_beam_batch(
             ps, graph, queries_padded[sel], q_norms[sel], starts[sel],
             b, qp.limit, metric, degree_limit=_dl(qp, graph), mesh=mesh,
@@ -155,11 +135,67 @@ def doubling_postfilter(
         if stats is not None:
             ids_for = stat_ids[sel] if stat_ids is not None else sel
             stats.add_beam_result(ids_for, res)
-        _, ti, td = _filter_topk(
-            res.frontier_ids, res.frontier_dists, graph,
-            win_lo[sel], win_hi[sel], k,
+        qpow = res.frontier_ids.shape[0]
+        wl = np.zeros(qpow, dtype=np.int32)
+        wh = np.zeros(qpow, dtype=np.int32)
+        wl[: len(sel)], wh[: len(sel)] = win_lo[sel], win_hi[sel]
+        return window_filter_topk(
+            res.frontier_ids, res.frontier_dists, graph.slab_to_global_dev,
+            jnp.asarray(wl), jnp.asarray(wh), k,
         )
-        res_i[sel], res_d[sel] = ti, td
+
+    first_round = True
+    while not done.all():
+        beams = np.unique(cur_beam[~done])
+        launches = []  # enqueue every beam class + speculative finals first
+        for b in beams:
+            sel = np.nonzero(~done & (cur_beam == b))[0]
+            launches.append((sel, b, _search_and_filter(sel, b)))
+            # speculate the final beam*multiply pass for the common case
+            # where beam b already yields >= k survivors — it then rides the
+            # same device queue instead of waiting out a host round trip
+            # (ref semantics: the final search always runs after the loop,
+            # postfilter_vamana.h:173-181)
+            fb = min(b * qp.final_beam_multiply, qp.postfiltering_max_beam)
+            if first_round and fb > b:
+                launches.append((sel, -fb, _search_and_filter(sel, fb)))
+        fetched = jax.device_get([f for _, _, f in launches])
+        spec = {}
+        for (sel, b, _), (counts, ti, td) in zip(launches, fetched):
+            q = len(sel)
+            if b < 0:  # speculative final: stash, apply below
+                spec[-b] = (np.asarray(ti)[:q], np.asarray(td)[:q])
+                continue
+            res_i[sel] = np.asarray(ti)[:q].astype(np.int64)
+            res_d[sel] = np.asarray(td)[:q]
+            enough = np.asarray(counts)[:q] >= k
+            done[sel[enough]] = True
+            grow = sel[~enough]
+            cur_beam[grow] *= 2
+            done[grow] |= cur_beam[grow] >= qp.postfiltering_max_beam
+            fb = min(b * qp.final_beam_multiply, qp.postfiltering_max_beam)
+            if fb in spec and fb > b:
+                sat = np.nonzero(enough)[0]
+                ti_s, td_s = spec[fb]
+                res_i[sel[sat]] = ti_s[sat].astype(np.int64)
+                res_d[sel[sat]] = td_s[sat]
+                cur_beam[sel[sat]] = -fb  # mark final already applied
+        first_round = False
+    # final pass at beam * final_beam_multiply (ref: postfilter_vamana.h:173-181)
+    # for queries whose speculative final didn't apply (doubled, or fm == 1)
+    served = cur_beam < 0
+    final_beam = np.minimum(cur_beam * qp.final_beam_multiply, qp.postfiltering_max_beam)
+    needs_final = (final_beam > cur_beam) & ~served
+    launches = []
+    for b in np.unique(final_beam[needs_final]):
+        sel = np.nonzero(needs_final & (final_beam == b))[0]
+        launches.append((sel, _search_and_filter(sel, b)))
+    if launches:
+        fetched = jax.device_get([f for _, f in launches])
+        for (sel, _), (_, ti, td) in zip(launches, fetched):
+            q = len(sel)
+            res_i[sel] = np.asarray(ti)[:q].astype(np.int64)
+            res_d[sel] = np.asarray(td)[:q]
     return res_i, res_d
 
 

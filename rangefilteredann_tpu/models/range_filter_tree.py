@@ -281,6 +281,10 @@ class RangeFilterTreeIndex:
         out_d = np.full((t_count, k), np.inf, dtype=np.float32)
         if not t_count:
             return out_i, out_d
+        # enqueue every (row, beam) group first, fetch ONCE: each blocking
+        # device_get costs a ~30 ms tunnel dispatch floor, and a fenwick plan
+        # routinely touches several rows per batch
+        launches = []
         for r in np.unique(rows):
             g = self._graphs[r]
             off = self._offsets[r]
@@ -307,13 +311,13 @@ class RangeFilterTreeIndex:
                 )
                 if stats is not None:
                     stats.add_beam_result(qis[sel], res)
-                fi, fd = jax.device_get(
-                    (res.frontier_ids, res.frontier_dists)
-                )
-                fi, fd = fi[: len(sel), :k], fd[: len(sel), :k]
-                valid = fi != int(EMPTY_ID)
-                out_i[sel] = np.where(valid, fi, int(EMPTY_ID))
-                out_d[sel] = np.where(valid, fd, np.inf)
+                launches.append((sel, res.frontier_ids, res.frontier_dists))
+        fetched = jax.device_get([(fi, fd) for _, fi, fd in launches])
+        for (sel, _, _), (fi, fd) in zip(launches, fetched):
+            fi, fd = fi[: len(sel), :k], fd[: len(sel), :k]
+            valid = fi != int(EMPTY_ID)
+            out_i[sel] = np.where(valid, fi, int(EMPTY_ID))
+            out_d[sel] = np.where(valid, fd, np.inf)
         return out_i, out_d
 
     def _run_doubling(self, qis, rows, buckets, win_lo, win_hi,
