@@ -36,8 +36,8 @@ def window_gather_max() -> int:
 MIN_CLASS = 64  # smallest padded window / batch size
 # Cap on gathered bytes per windowed_bruteforce launch (fp32), to bound HBM use.
 GATHER_BYTES_BUDGET = 1 << 30
-# Queries per pipelined full-scan launch (2 Pallas QBLOCKs): chunks are
-# enqueued back-to-back so host->device uploads overlap kernel execution.
+# Queries per pipelined full-scan launch (4 Pallas QBLOCKs of 128): chunks
+# are enqueued back-to-back so host->device uploads overlap kernel execution.
 SCAN_CHUNK = 512
 
 
@@ -130,7 +130,8 @@ def batched_range_bruteforce(
                 d, i = pallas_scan_bruteforce(
                     data, norms_sq, jnp.asarray(qs), jnp.asarray(ss),
                     jnp.asarray(ee), k=k, metric=metric,
-                    d_eff=None if norm_col is None else pad_dim(norm_col),
+                    d_eff=(None if norm_col is None or norm_col < 0
+                           else pad_dim(norm_col)),
                     max_tiles=host_max_tiles(ss, ee, data.shape[0]),
                 )
             else:

@@ -124,7 +124,22 @@ def doubling_postfilter(
     # mirror the per-query loop: run while (survivors < k) and (beam < max)
     done |= cur_beam >= qp.postfiltering_max_beam  # loop never entered
 
-    def _search_and_filter(sel, b):
+    stat_buf = []  # (ids_for, row_idx, num_visited fut, dist_cmps fut):
+    #                 folded in one batched fetch — add_beam_result per
+    #                 launch would block (~30 ms dispatch floor each)
+
+    def _flush_stats():
+        if stats is None or not stat_buf:
+            return
+        fetched = jax.device_get([(nv, dc) for _, _, nv, dc in stat_buf])
+        for (ids_for, idx, _, _), (nv, dc) in zip(stat_buf, fetched):
+            nv = np.asarray(nv)[: len(ids_for)]
+            dc = np.asarray(dc)[: len(ids_for)]
+            stats.increment_visited(ids_for[idx], nv[idx])
+            stats.increment_dist(ids_for[idx], dc[idx])
+        stat_buf.clear()
+
+    def _search_and_filter(sel, b, collect_stats=True):
         """Enqueue one dense search + window filter; NO blocking fetch —
         returns device futures so independent launches pipeline over the
         tunnel (each blocking sync costs ~30 ms of dispatch floor)."""
@@ -132,40 +147,45 @@ def doubling_postfilter(
             ps, graph, queries_padded[sel], q_norms[sel], starts[sel],
             b, qp.limit, metric, degree_limit=_dl(qp, graph), mesh=mesh,
         )
-        if stats is not None:
+        if stats is not None and collect_stats:
             ids_for = stat_ids[sel] if stat_ids is not None else sel
-            stats.add_beam_result(ids_for, res)
+            stat_buf.append(
+                (ids_for, np.arange(len(sel)), res.num_visited, res.dist_cmps))
         qpow = res.frontier_ids.shape[0]
         wl = np.zeros(qpow, dtype=np.int32)
         wh = np.zeros(qpow, dtype=np.int32)
         wl[: len(sel)], wh[: len(sel)] = win_lo[sel], win_hi[sel]
-        return window_filter_topk(
+        fut = window_filter_topk(
             res.frontier_ids, res.frontier_dists, graph.slab_to_global_dev,
             jnp.asarray(wl), jnp.asarray(wh), k,
         )
+        return fut, res
 
     first_round = True
     while not done.all():
         beams = np.unique(cur_beam[~done])
-        launches = []  # enqueue every beam class + speculative finals first
+        # enqueue every beam class AND its speculative final pass before any
+        # blocking fetch: in the common case (round 1 yields >= k in-window
+        # survivors) the final beam*multiply search rides the same device
+        # queue instead of waiting out a host round trip (ref semantics: the
+        # final search always runs after the loop, postfilter_vamana.h:173-181)
+        launches, spec = [], {}
         for b in beams:
             sel = np.nonzero(~done & (cur_beam == b))[0]
-            launches.append((sel, b, _search_and_filter(sel, b)))
-            # speculate the final beam*multiply pass for the common case
-            # where beam b already yields >= k survivors — it then rides the
-            # same device queue instead of waiting out a host round trip
-            # (ref semantics: the final search always runs after the loop,
-            # postfilter_vamana.h:173-181)
+            fut, _ = _search_and_filter(sel, b)
+            launches.append((sel, b, fut))
             fb = min(b * qp.final_beam_multiply, qp.postfiltering_max_beam)
             if first_round and fb > b:
-                launches.append((sel, -fb, _search_and_filter(sel, fb)))
-        fetched = jax.device_get([f for _, _, f in launches])
-        spec = {}
+                # spec stats fold later, only for queries that take the result
+                s_fut, s_res = _search_and_filter(sel, fb, collect_stats=False)
+                spec[b] = (fb, s_fut, s_res)
+        fetched = jax.device_get(
+            [f for _, _, f in launches]
+            + [f for _, f, _ in spec.values()]
+        )
+        spec_fetched = dict(zip(spec.keys(), fetched[len(launches):]))
         for (sel, b, _), (counts, ti, td) in zip(launches, fetched):
             q = len(sel)
-            if b < 0:  # speculative final: stash, apply below
-                spec[-b] = (np.asarray(ti)[:q], np.asarray(td)[:q])
-                continue
             res_i[sel] = np.asarray(ti)[:q].astype(np.int64)
             res_d[sel] = np.asarray(td)[:q]
             enough = np.asarray(counts)[:q] >= k
@@ -173,13 +193,17 @@ def doubling_postfilter(
             grow = sel[~enough]
             cur_beam[grow] *= 2
             done[grow] |= cur_beam[grow] >= qp.postfiltering_max_beam
-            fb = min(b * qp.final_beam_multiply, qp.postfiltering_max_beam)
-            if fb in spec and fb > b:
+            if b in spec:  # speculative final for THIS beam class (same sel)
+                fb, _, s_res = spec[b]
+                _, ti_s, td_s = spec_fetched[b]
                 sat = np.nonzero(enough)[0]
-                ti_s, td_s = spec[fb]
-                res_i[sel[sat]] = ti_s[sat].astype(np.int64)
-                res_d[sel[sat]] = td_s[sat]
+                res_i[sel[sat]] = np.asarray(ti_s)[:q][sat].astype(np.int64)
+                res_d[sel[sat]] = np.asarray(td_s)[:q][sat]
                 cur_beam[sel[sat]] = -fb  # mark final already applied
+                if stats is not None and len(sat):
+                    ids_for = stat_ids[sel] if stat_ids is not None else sel
+                    stat_buf.append(
+                        (ids_for, sat, s_res.num_visited, s_res.dist_cmps))
         first_round = False
     # final pass at beam * final_beam_multiply (ref: postfilter_vamana.h:173-181)
     # for queries whose speculative final didn't apply (doubled, or fm == 1)
@@ -189,13 +213,14 @@ def doubling_postfilter(
     launches = []
     for b in np.unique(final_beam[needs_final]):
         sel = np.nonzero(needs_final & (final_beam == b))[0]
-        launches.append((sel, _search_and_filter(sel, b)))
+        launches.append((sel, _search_and_filter(sel, b)[0]))
     if launches:
         fetched = jax.device_get([f for _, f in launches])
         for (sel, _), (_, ti, td) in zip(launches, fetched):
             q = len(sel)
             res_i[sel] = np.asarray(ti)[:q].astype(np.int64)
             res_d[sel] = np.asarray(td)[:q]
+    _flush_stats()
     return res_i, res_d
 
 

@@ -75,6 +75,7 @@ def _extract_topk_tournament(dists, ids, k):
     """
     q, t = dists.shape
     w = min(TOUR_W, t)
+    assert t % w == 0, (t, w)  # a remainder group would be silently dropped
     g = t // w
     groups_d = [dists[:, i * w : (i + 1) * w] for i in range(g)]
     groups_i = [ids[:, i * w : (i + 1) * w] for i in range(g)]

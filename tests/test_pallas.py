@@ -92,13 +92,13 @@ def test_host_max_tiles_grid_matches_full(rng):
         rng.normal(size=(q, d)).astype(np.float32), d, ps.d_pad))
     ss = rng.integers(0, n // 2, size=q).astype(np.int32)
     ee = (ss + rng.integers(600, n // 2, size=q)).astype(np.int32)
-    mt = host_max_tiles(ss, ee, n)
+    mt = host_max_tiles(ss, ee, n, round_to=1)
     a = pallas_scan_bruteforce(ps.data, ps.norms_sq, queries,
                                jnp.asarray(ss), jnp.asarray(ee), k, "l2",
                                interpret=True)
     b = pallas_scan_bruteforce(ps.data, ps.norms_sq, queries,
                                jnp.asarray(ss), jnp.asarray(ee), k, "l2",
                                interpret=True, max_tiles=mt)
-    assert mt < -(-n // 512) + 32  # the bound actually bit
+    assert mt < -(-n // 512)  # the bound actually bit (grid < n_tiles)
     assert np.array_equal(np.asarray(a[1]), np.asarray(b[1]))
     assert np.array_equal(np.asarray(a[0]), np.asarray(b[0]))
