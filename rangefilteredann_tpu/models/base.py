@@ -147,6 +147,24 @@ def batched_range_bruteforce(
     return out_d, out_i
 
 
+def whole_dataset_cache(cache_path, bp, label_lo, label_hi, n):
+    """Canonical cache filename for THE whole-dataset graph: a single Vamana
+    over the full label-sorted dataset. The flat postfilter index, B-WST
+    row 0, and super-tree row 0 (for any split/cutoff) are identical builds —
+    one bucket spanning [0, n) — so they all load from / save to this one
+    name, like the reference's shared vamana_{...} cache key
+    (src/postfilter_vamana.h:126-132)."""
+    import os
+
+    if not cache_path:
+        return None
+    return os.path.join(
+        cache_path,
+        f"vamana_{bp.L}_{bp.R}_{bp.alpha:.6f}_{label_lo:.6f}_{label_hi:.6f}_"
+        f"{n}.npz",
+    )
+
+
 def finalize_output(
     dists: np.ndarray,  # [Q, k] shifted-L2 / mips dists, +inf = empty
     ids_sorted: np.ndarray,  # [Q, k] sorted-order ids, EMPTY_ID = empty

@@ -50,7 +50,12 @@ from ..params import (
     QueryParams,
 )
 from ..utils.data import first_geq, make_pointset, pad_queries, sort_by_labels
-from .base import batched_range_bruteforce, finalize_output, next_pow2
+from .base import (
+    batched_range_bruteforce,
+    finalize_output,
+    next_pow2,
+    whole_dataset_cache,
+)
 from .postfilter_vamana import _filter_topk, doubling_postfilter
 from .vamana import SlabGraph, build_vamana_graph
 
@@ -133,8 +138,20 @@ class RangeFilterTreeIndex:
 
     def _load_or_build_row(self, r, row_off, s2g, seed) -> SlabGraph:
         fname = self._row_cache_file(r)
-        if fname and os.path.exists(fname):
-            with np.load(fname) as z:
+        load_from = fname
+        canon = None
+        if r == 0 and self._bp.cache_path:
+            # row 0 is ONE bucket over the whole dataset — the identical
+            # build to the flat PostfilterVamanaIndex graph; share its cache
+            canon = whole_dataset_cache(
+                self._bp.cache_path, self._bp,
+                float(self._labels_sorted[0]), float(self._labels_sorted[-1]),
+                self._ps.n)
+            if (fname and not os.path.exists(fname)
+                    and os.path.exists(canon)):
+                load_from = canon
+        if load_from and os.path.exists(load_from):
+            with np.load(load_from) as z:
                 nbrs = z["nbrs"]
             return SlabGraph(
                 nbrs_dev=jnp.asarray(nbrs),
@@ -149,6 +166,8 @@ class RangeFilterTreeIndex:
         if fname:
             os.makedirs(os.path.dirname(fname), exist_ok=True)
             np.savez_compressed(fname, nbrs=g.nbrs_host)
+            if canon and not os.path.exists(canon):
+                np.savez_compressed(canon, nbrs=g.nbrs_host)
         return g
 
     def shard(self, mesh) -> "RangeFilterTreeIndex":

@@ -121,8 +121,21 @@ class SuperOptimizedPostfilterTree:
         )
 
     def _load_or_build_row(self, r, slab_offsets, s2g, seed) -> SlabGraph:
+        from .base import whole_dataset_cache
+
         fname = self._row_cache_file(r)
-        if fname and os.path.exists(fname):
+        load_from = fname
+        canon = None
+        if r == 0 and self._bp.cache_path:
+            # row 0 = one whole-dataset bucket: share the flat graph cache
+            canon = whole_dataset_cache(
+                self._bp.cache_path, self._bp,
+                float(self._labels_sorted[0]), float(self._labels_sorted[-1]),
+                self._ps.n)
+            if (fname and not os.path.exists(fname)
+                    and os.path.exists(canon)):
+                load_from = canon
+        if load_from and os.path.exists(load_from):
             with np.load(fname) as z:
                 nbrs = z["nbrs"]
             return SlabGraph(
@@ -138,6 +151,8 @@ class SuperOptimizedPostfilterTree:
         if fname:
             os.makedirs(os.path.dirname(fname), exist_ok=True)
             np.savez_compressed(fname, nbrs=g.nbrs_host)
+            if canon and not os.path.exists(canon):
+                np.savez_compressed(canon, nbrs=g.nbrs_host)
         return g
 
     def shard(self, mesh) -> "SuperOptimizedPostfilterTree":

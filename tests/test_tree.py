@@ -149,3 +149,22 @@ def test_super_tree_validation(dataset):
         SuperOptimizedPostfilterTree(points[:100], labels[:100], split_factor=1.0)
     with pytest.raises(ValueError):
         SuperOptimizedPostfilterTree(points[:100], labels[:100], shift_factor=1.5)
+
+
+def test_row0_shares_whole_dataset_cache(rng, tmp_path):
+    """B-WST row 0 and the flat postfilter graph are the same build; the tree
+    must load the flat index's cache instead of rebuilding (reference shares
+    one vamana_{...} cache key, src/postfilter_vamana.h:126-132)."""
+    from rangefilteredann_tpu.models.postfilter_vamana import (
+        PostfilterVamanaIndex)
+
+    n, d = 600, 16
+    pts = rng.normal(size=(n, d)).astype(np.float32)
+    labels = rng.uniform(size=n)
+    bp = BuildParams(R=8, L=16, alpha=1.2, cache_path=str(tmp_path) + "/")
+    flat = PostfilterVamanaIndex(pts, labels, bp)
+    # different seed: a rebuild would produce a different row-0 graph, so
+    # equality proves the cache was shared, not rebuilt
+    tree = RangeFilterTreeIndex(pts, labels, cutoff=300, split_factor=2,
+                                build_params=bp, seed=5)
+    assert np.array_equal(tree._graphs[0].nbrs_host, flat._graph.nbrs_host)
