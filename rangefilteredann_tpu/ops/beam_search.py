@@ -93,12 +93,9 @@ class BeamResult(NamedTuple):
 def _merge_dedup_sort(ids, dists, expl, beam):
     """Exact dedup-by-id then (dist, id) sort; returns the best `beam` slots.
 
-    Keep-first priority goes to explored copies so an expanded frontier entry
-    wins over a freshly proposed duplicate of itself. Both sorts pack two
-    values into one int32 key (requires slab size < 2^30; flag in the low
-    bit) to halve sort operand traffic — comparator order is identical:
-    (id, 1-expl) == ids*2+(1-expl), and for the second sort ids are unique
-    post-dedup so (dist, id, [expl]) == (dist, ids*2+expl).
+    Used by the generic merge path (frontier may contain duplicates). Packs
+    (id, flag) into one int32 sort key (requires slab size < 2^30) to halve
+    sort operand traffic; keep-first priority goes to explored copies.
     """
     # ids*2 would overflow for EMPTY_ID (int32 max); empties keep their own key
     key1 = jnp.where(ids == EMPTY_ID, EMPTY_ID, ids * 2 + (1 - expl))
@@ -116,6 +113,33 @@ def _merge_dedup_sort(ids, dists, expl, beam):
     f_ids = jnp.where(f_key2 == EMPTY_ID, EMPTY_ID, f_key2 >> 1)
     f_e = jnp.where(f_key2 == EMPTY_ID, 0, f_key2 & 1)
     return f_ids[:, :beam], f_d[:, :beam], f_e[:, :beam]
+
+
+def _merge_frontier_cands(f_ids, f_d, f_e, c_ids, c_d, beam):
+    """Merge a duplicate-free sorted frontier with fresh candidates: duplicate
+    candidates are masked by O(C*(B+C)) VPU compares — against the frontier
+    (the frontier copy wins, matching explored-copy priority: candidates are
+    always unexplored) and against earlier candidate slots (keep-first) — so
+    only ONE (dist, key) sort runs per step instead of a dedup sort plus a
+    rank sort. Exactness is enforced by the beam-search oracle tests.
+    """
+    dup_f = (c_ids[:, :, None] == f_ids[:, None, :]).any(axis=2)  # [Q, C]
+    same = c_ids[:, :, None] == c_ids[:, None, :]  # [Q, C, C]
+    c = c_ids.shape[1]
+    earlier = jax.lax.broadcasted_iota(jnp.int32, (1, c, c), 2) < \
+        jax.lax.broadcasted_iota(jnp.int32, (1, c, c), 1)
+    dup_c = (same & earlier).any(axis=2)
+    dup = (dup_f | dup_c) & (c_ids != EMPTY_ID)
+    c_ids = jnp.where(dup, EMPTY_ID, c_ids)
+    c_d = jnp.where(dup, jnp.inf, c_d)
+    m_ids = jnp.concatenate([f_ids, c_ids], axis=1)
+    m_d = jnp.concatenate([f_d, c_d], axis=1)
+    m_e = jnp.concatenate([f_e, jnp.zeros_like(c_ids)], axis=1)
+    key = jnp.where(m_ids == EMPTY_ID, EMPTY_ID, m_ids * 2 + m_e)
+    s_d, s_key = jax.lax.sort((m_d, key), num_keys=2)
+    o_ids = jnp.where(s_key == EMPTY_ID, EMPTY_ID, s_key >> 1)
+    o_e = jnp.where(s_key == EMPTY_ID, 0, s_key & 1)
+    return o_ids[:, :beam], s_d[:, :beam], o_e[:, :beam]
 
 
 @functools.partial(
@@ -269,11 +293,19 @@ def batched_beam_search(
         cand_ids = jnp.where(keep, cand, EMPTY_ID).astype(jnp.int32)
         cand_dist = jnp.where(keep, cand_dist, jnp.inf)
 
-        # merge, dedup, truncate to beam
-        m_ids = jnp.concatenate([f_ids, cand_ids], axis=1)
-        m_d = jnp.concatenate([f_d, cand_dist], axis=1)
-        m_e = jnp.concatenate([f_e, jnp.zeros_like(cand_ids)], axis=1)
-        nf_ids, nf_d, nf_e = _merge_dedup_sort(m_ids, m_d, m_e, beam)
+        # merge, dedup, truncate to beam. The frontier is duplicate-free by
+        # induction, so for narrow candidate sets (query mode: C = R at
+        # expand=1) compare-masking replaces the dedup sort; for the wide
+        # multi-expansion candidate sets of builds the O(C^2) compare would
+        # cost more than the sort it saves.
+        if cand_ids.shape[1] <= 128:
+            nf_ids, nf_d, nf_e = _merge_frontier_cands(
+                f_ids, f_d, f_e, cand_ids, cand_dist, beam)
+        else:
+            m_ids = jnp.concatenate([f_ids, cand_ids], axis=1)
+            m_d = jnp.concatenate([f_d, cand_dist], axis=1)
+            m_e = jnp.concatenate([f_e, jnp.zeros_like(cand_ids)], axis=1)
+            nf_ids, nf_d, nf_e = _merge_dedup_sort(m_ids, m_d, m_e, beam)
 
         # cut pruning (query mode, metric spaces only; ref: beamSearch.h:162-167).
         # Internal L2 dists are shifted by -||q||^2; `d_true < cut * dk_true`
