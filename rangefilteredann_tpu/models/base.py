@@ -147,6 +147,27 @@ def batched_range_bruteforce(
     return out_d, out_i
 
 
+# HBM budget for inline neighbor-vector blocks ([m, R, w] fp32 copies that
+# turn beam expansion's R row-gathers into one block-gather; see
+# SlabGraph.attach_inline). Override with RFANN_INLINE_BUDGET (bytes); the
+# TPU here has 16 GB HBM and the 200k flat graph costs ~4.9 GB.
+import os as _os
+
+INLINE_BUDGET = int(float(_os.environ.get("RFANN_INLINE_BUDGET", 6e9)))
+
+
+def maybe_attach_inline(graph, ps) -> bool:
+    """Attach inline neighbor vectors when on a real accelerator and the
+    slab fits the budget. No-op on CPU (tests) — the inline path is
+    exactness-covered by its own parity test."""
+    if jax.default_backend() == "cpu":
+        return False
+    if graph.inline_bytes(ps) > INLINE_BUDGET:
+        return False
+    graph.attach_inline(ps)
+    return True
+
+
 def whole_dataset_cache(cache_path, bp, label_lo, label_hi, n):
     """Canonical cache filename for THE whole-dataset graph: a single Vamana
     over the full label-sorted dataset. The flat postfilter index, B-WST

@@ -31,7 +31,7 @@ from ..ops.beam_search import (
 from ..ops.topk import EMPTY_ID
 from ..params import BuildParams, QueryParams
 from ..utils.data import first_geq, make_pointset, pad_queries, sort_by_labels
-from .base import finalize_output, next_pow2
+from .base import finalize_output, maybe_attach_inline, next_pow2
 from .vamana import SlabGraph, build_vamana_graph
 
 
@@ -79,6 +79,7 @@ def _run_beam_batch(
     st = np.zeros((qpow,), dtype=np.int32)
     act = np.zeros((qpow,), dtype=bool)
     qs[:q], st[:q], act[:q] = queries_padded, starts, True
+    inline = mesh is None and graph.nbr_vecs is not None
     res = batched_beam_search(
         ps.data, ps.norms_sq, graph.nbrs_dev, graph.slab_to_global_dev,
         _place(mesh, qs), _place(mesh, st),
@@ -88,6 +89,8 @@ def _run_beam_batch(
         degree_limit=int(degree_limit),
         norm_col=ps.norm_col if ps.norm_col >= 0 else None,
         identity_map=graph.identity_s2g,
+        nbr_vecs=graph.nbr_vecs if inline else None,
+        nbr_norms=graph.nbr_norms if inline else None,
     )
     return res
 
@@ -246,6 +249,7 @@ class PostfilterVamanaIndex:
         self._bp = bp
         self._mesh = None
         self._graph = self._load_or_build(bp, n, seed)
+        maybe_attach_inline(self._graph, self._ps)
 
     # --- graph cache (ref: postfilter_vamana.h:54-79,126-138) ---
     def _cache_file(self, bp: BuildParams, n: int) -> Optional[str]:

@@ -56,6 +56,9 @@ class SlabGraph:
     slab_to_global_host: np.ndarray = None  # [m] host copy of the slab map
     identity_s2g: bool = False  # slab ids == global ids (skip the map gather)
 
+    nbr_vecs: Optional[jax.Array] = None  # [m, R, w] inline neighbor vectors
+    nbr_norms: Optional[jax.Array] = None  # [m, R] their ||x||^2
+
     @property
     def m(self) -> int:
         return self.nbrs_host.shape[0]
@@ -66,6 +69,32 @@ class SlabGraph:
 
     def sync_to_device(self):
         self.nbrs_dev = jnp.asarray(self.nbrs_host)
+
+    def inline_bytes(self, ps: PointSet) -> int:
+        """HBM cost of attach_inline for this slab."""
+        from .base import next_pow2  # noqa: F401  (doc cross-ref only)
+
+        w = ps.norm_col if ps.norm_col >= 0 else ps.d_pad
+        w = -(-w // 128) * 128
+        return self.m * self.R * (w * 4 + 4)
+
+    def attach_inline(self, ps: PointSet) -> "SlabGraph":
+        """Materialize each node's neighbor VECTORS contiguously ([m, R, w]
+        fp32 + [m, R] norms), so beam-search expansion gathers one block per
+        node instead of R scattered point rows (XLA row gathers are
+        row-rate-bound — see docs/PERFORMANCE.md). Exact: fp32 copies of the
+        point store with the fused-norm column zeroed. Costs inline_bytes()
+        of HBM — callers gate on budget."""
+        w = ps.norm_col if ps.norm_col >= 0 else ps.d_pad
+        w = -(-w // 128) * 128
+        safe = jnp.clip(self.nbrs_dev, 0, self.m - 1)
+        gid = safe if self.identity_s2g else self.slab_to_global_dev[safe]
+        src = ps.data[:, :w]
+        if ps.norm_col >= 0 and ps.norm_col < w:
+            src = src.at[:, ps.norm_col].set(0.0)
+        self.nbr_vecs = src[gid]  # [m, R, w]
+        self.nbr_norms = ps.norms_sq[gid]
+        return self
 
 
 def _batch_schedule(m: int, base: float = 2.0, max_fraction: float = 0.02):

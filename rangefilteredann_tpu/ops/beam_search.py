@@ -179,6 +179,13 @@ def batched_beam_search(
     # element-gather (row-rate-bound on TPU) disappears.
     identity_map: bool = False,  # slab_to_global is the identity: skip its
     # per-candidate gather (true for every non-overlapping graph).
+    nbr_vecs: Optional[jax.Array] = None,  # [m, R, w] inline copies of each
+    # node's neighbor VECTORS (exact fp32, norm column zeroed), so expanding
+    # a node gathers ONE contiguous [R, w] block instead of R scattered point
+    # rows — XLA row gathers are row-rate-bound, so this divides the
+    # expansion gather count by R. Memory: m*R*w*4 bytes; attach only where
+    # HBM allows (SlabGraph.attach_inline).
+    nbr_norms: Optional[jax.Array] = None,  # [m, R] matching ||x||^2 values
 ) -> BeamResult:
     q, _ = queries.shape
     m, r = nbrs.shape
@@ -277,12 +284,20 @@ def batched_beam_search(
             & (cand != exclude[:, None])
         )
         cand_safe = jnp.clip(cand, 0, m - 1)
-        if identity_map:
-            gid_safe = cand_safe
+        if nbr_vecs is not None:
+            # inline path: one contiguous [R, w] block per expanded node
+            blk = nbr_vecs[cur_safe][..., :r, :]  # [Q, E, r, w]
+            w = blk.shape[-1]
+            vecs = blk.reshape(q, -1, w)
+            nrm = nbr_norms[cur_safe][..., :r].reshape(q, -1)
+            cand_dist = gathered_distances(queries[:, :w], vecs, nrm, metric)
         else:
-            gid = slab_to_global[cand_safe]
-            gid_safe = jnp.clip(gid, 0, data.shape[0] - 1)
-        cand_dist = _dists(data[gid_safe], gid_safe)
+            if identity_map:
+                gid_safe = cand_safe
+            else:
+                gid = slab_to_global[cand_safe]
+                gid_safe = jnp.clip(gid, 0, data.shape[0] - 1)
+            cand_dist = _dists(data[gid_safe], gid_safe)
         cmps = cmps + valid.sum(axis=1, dtype=jnp.int32)
 
         # drop candidates not beating the current worst of a full frontier

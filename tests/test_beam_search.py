@@ -189,3 +189,42 @@ def test_multi_expand_matches_oracle(rng, expand):
         want_ids = np.array([i for _, i in want])
         assert (got[: len(want_ids)] == want_ids).all(), f"q{qi}"
         assert int(res.num_visited[qi]) == nv
+
+
+def test_inline_neighbor_blocks_match_standard(rng):
+    """The inline neighbor-vector path (SlabGraph.attach_inline) must return
+    the same frontier as the standard per-candidate gather path — it is exact
+    fp32 copies, only the gather layout changes."""
+    import jax.numpy as jnp
+
+    from rangefilteredann_tpu.models.vamana import SlabGraph
+    from rangefilteredann_tpu.utils.data import make_pointset, pad_queries
+
+    n, d, r, q, beam = 500, 24, 8, 16, 12
+    points = rng.normal(size=(n, d)).astype(np.float32)
+    ps = make_pointset(points, "l2")
+    nbrs = random_graph(rng, n, r)
+    g = SlabGraph(
+        nbrs_dev=jnp.asarray(nbrs),
+        slab_to_global_dev=jnp.arange(n, dtype=jnp.int32),
+        nbrs_host=nbrs,
+        degrees=(nbrs >= 0).sum(axis=1).astype(np.int32),
+        bucket_slab_offsets=np.array([0, n]),
+        slab_to_global_host=np.arange(n),
+        identity_s2g=True,
+    )
+    g.attach_inline(ps)
+    queries = jnp.asarray(pad_queries(
+        rng.normal(size=(q, d)).astype(np.float32), d, ps.d_pad))
+    starts = jnp.zeros((q,), jnp.int32)
+    kw = dict(beam=beam, k=0, cut=jnp.float32(1.35),
+              limit=jnp.int32(n), metric="l2", norm_col=ps.norm_col,
+              identity_map=True)
+    a = batched_beam_search(ps.data, ps.norms_sq, g.nbrs_dev,
+                            g.slab_to_global_dev, queries, starts, **kw)
+    b = batched_beam_search(ps.data, ps.norms_sq, g.nbrs_dev,
+                            g.slab_to_global_dev, queries, starts,
+                            nbr_vecs=g.nbr_vecs, nbr_norms=g.nbr_norms, **kw)
+    assert np.array_equal(np.asarray(a.frontier_ids), np.asarray(b.frontier_ids))
+    np.testing.assert_allclose(np.asarray(a.frontier_dists),
+                               np.asarray(b.frontier_dists), rtol=1e-5)
