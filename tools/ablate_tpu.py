@@ -82,6 +82,34 @@ def main():
         dt = t_best(bs(40, dl))
         log(f"beam=40 degree_limit={dl}: {dt*1e3:.1f} ms")
 
+    # inline neighbor-vector blocks
+    from rangefilteredann_tpu.models.vamana import SlabGraph
+    g = SlabGraph(
+        nbrs_dev=nbrs, slab_to_global_dev=s2g,
+        nbrs_host=np.asarray(nbrs), degrees=None,
+        bucket_slab_offsets=np.array([0, N]), identity_s2g=True)
+    t0 = time.time()
+    g.attach_inline(ps)
+    jax.block_until_ready(g.nbr_vecs)
+    log(f"attach_inline: {time.time()-t0:.1f}s "
+        f"({g.inline_bytes(ps)/1e9:.1f} GB)")
+
+    def bsi(beam):
+        def f():
+            r = batched_beam_search(
+                ps.data, ps.norms_sq, nbrs, s2g, qpad, st,
+                beam=beam, k=0, cut=jnp.float32(1.35), limit=jnp.int32(N),
+                metric="l2", expand=1, norm_col=ps.norm_col,
+                identity_map=True, nbr_vecs=g.nbr_vecs,
+                nbr_norms=g.nbr_norms)
+            jax.block_until_ready(r.frontier_ids)
+        return f
+
+    for beam in (40, 80):
+        dt = t_best(bsi(beam))
+        log(f"beam={beam} INLINE: {dt*1e3:.1f} ms ({NQ/dt:.0f} qps)")
+    del g
+
     # build-expand trial (fresh small-ish builds, no cache)
     from rangefilteredann_tpu import BuildParams, build_query_params
     from rangefilteredann_tpu.models.postfilter_vamana import (
