@@ -72,6 +72,8 @@ class VamanaIndex:
         return self
 
     def _init_from_arrays(self, data, nbrs, metric):
+        from .base import maybe_attach_inline
+
         self._ps = make_pointset(data, metric)
         n = self._ps.n
         s2g = np.arange(n, dtype=np.int64)
@@ -84,6 +86,7 @@ class VamanaIndex:
             slab_to_global_host=s2g,
             identity_s2g=True,
         )
+        maybe_attach_inline(self._graph, self._ps)
 
     def batch_search(
         self,
@@ -113,6 +116,8 @@ class VamanaIndex:
             expand=default_expand(int(beam_width)),
             norm_col=ps.norm_col if ps.norm_col >= 0 else None,
             identity_map=True,
+            nbr_vecs=self._graph.nbr_vecs,
+            nbr_norms=self._graph.nbr_norms,
         )
         ids, dists = jax.device_get((res.frontier_ids, res.frontier_dists))
         ids = ids[:num_queries, :knn].astype(np.int64)
