@@ -1,0 +1,107 @@
+"""Full filter-fraction landscape at 200k (reference protocol: fractions
+2^0..2^-16, k=10), one row per (fraction, method) in the reference CSV
+schema. Uses the cached bench indices.
+
+Flat postfiltering is skipped below 2^-8: its doubling loop degenerates
+there (measured 61 QPS at 1M/2^-6) — the exact regime the trees exist for.
+
+Run: nohup setsid python tools/landscape_200k.py > /tmp/landscape.log 2>&1 &
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from rangefilteredann_tpu import (
+    BuildParams, RangeFilterTreeIndex, SuperOptimizedPostfilterTree,
+    build_query_params)
+from rangefilteredann_tpu.models.postfilter_vamana import PostfilterVamanaIndex
+from rangefilteredann_tpu.models.prefilter import PrefilterIndex
+
+N, D, K, NQ = 200_000, 128, 10, 2048
+OUT = "results/landscape_200k.csv"
+
+
+def log(*a):
+    print(f"[{time.strftime('%H:%M:%S')}]", *a, flush=True)
+
+
+def main():
+    rng = np.random.default_rng(42)
+    centers = rng.normal(size=(1000, D)).astype(np.float32)
+    points = (centers[rng.integers(0, 1000, N)]
+              + 0.35 * rng.normal(size=(N, D))).astype(np.float32)
+    labels = rng.uniform(size=N)
+    queries = (centers[rng.integers(0, 1000, NQ)]
+               + 0.35 * rng.normal(size=(NQ, D))).astype(np.float32)
+
+    bp = BuildParams(R=48, L=100, alpha=1.2, cache_path="bench_cache/")
+    pre = PrefilterIndex(points, labels, metric="Euclidian")
+    post = PostfilterVamanaIndex(points, labels, bp)
+    tree = RangeFilterTreeIndex(points, labels, cutoff=1000, split_factor=2,
+                                build_params=bp)
+    sup = SuperOptimizedPostfilterTree(
+        points, labels, cutoff=1000, split_factor=2.0, shift_factor=0.5,
+        build_params=bp)
+
+    os.makedirs("results", exist_ok=True)
+    rows = ["filter_width,method,recall,average_time,qps,threads"]
+    qp10 = build_query_params(K, K)
+
+    for i in range(0, 17):
+        frac = 2.0 ** -i
+        width = frac if frac < 1 else 1.0
+        lo = rng.uniform(0, 1 - width, NQ) if width < 1 else np.zeros(NQ)
+        filters = np.stack([lo, lo + width], 1)
+
+        ids_gt, _ = pre.batch_search(queries, filters, NQ, qp10)
+        gt_sets = [set(r.astype(np.int64).tolist()) for r in ids_gt]
+
+        def run(name, fn):
+            fn()  # warm
+            best = 1e9
+            ids = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                ids, _d = fn()
+                best = min(best, time.perf_counter() - t0)
+            rec = np.mean([
+                len(gt_sets[q] & set(ids[q].astype(np.int64).tolist())) / K
+                for q in range(NQ)])
+            rows.append(f"pow{-i},{name},{rec:.4f},{best/NQ:.8f},"
+                        f"{NQ/best:.1f},1")
+            log(f"2^-{i} {name}: recall={rec:.4f} qps={NQ/best:.0f}")
+
+        run("prefiltering",
+            lambda: pre.batch_search(queries, filters, NQ, qp10))
+        qp = build_query_params(K, 80, final_beam_multiply=2)
+        if i <= 8:
+            run("postfiltering_80_2",
+                lambda: post.batch_search(queries, filters, NQ, qp))
+        qp40 = build_query_params(K, 40, final_beam_multiply=2)
+        run("vamana-tree_40", lambda: tree.batch_search(
+            queries, filters, NQ, "fenwick", qp40))
+        run("three-split_40", lambda: tree.batch_search(
+            queries, filters, NQ, "three_split", qp40))
+        run("optimized-postfiltering_40", lambda: tree.batch_search(
+            queries, filters, NQ, "optimized_postfilter", qp40))
+        run("super-postfiltering_40",
+            lambda: sup.batch_search(queries, filters, NQ, qp40))
+        with open(OUT, "w") as f:
+            f.write("\n".join(rows) + "\n")
+    log(f"wrote {OUT}")
+
+
+if __name__ == "__main__":
+    main()
