@@ -2,8 +2,10 @@
 2^0..2^-16, k=10), one row per (fraction, method) in the reference CSV
 schema. Uses the cached bench indices.
 
-Flat postfiltering is skipped below 2^-8: its doubling loop degenerates
-there (measured 61 QPS at 1M/2^-6) — the exact regime the trees exist for.
+Flat postfiltering is skipped below 2^-6: its doubling loop degenerates
+there AND its beam-2560+ kernels can crash the TPU worker (kernel fault) —
+exactly the regime the trees exist for. Resume a crashed sweep with
+LANDSCAPE_START=<i> (appends to the existing CSV).
 
 Run: nohup setsid python tools/landscape_200k.py > /tmp/landscape.log 2>&1 &
 """
@@ -57,9 +59,12 @@ def main():
 
     os.makedirs("results", exist_ok=True)
     rows = ["filter_width,method,recall,average_time,qps,threads"]
+    if os.environ.get("LANDSCAPE_START") and os.path.exists(OUT):
+        rows = open(OUT).read().strip().split("\n")
     qp10 = build_query_params(K, K)
 
-    for i in range(0, 17):
+    start_i = int(os.environ.get("LANDSCAPE_START", 0))
+    for i in range(start_i, 17):
         frac = 2.0 ** -i
         width = frac if frac < 1 else 1.0
         lo = rng.uniform(0, 1 - width, NQ) if width < 1 else np.zeros(NQ)
@@ -86,7 +91,9 @@ def main():
         run("prefiltering",
             lambda: pre.batch_search(queries, filters, NQ, qp10))
         qp = build_query_params(K, 80, final_beam_multiply=2)
-        if i <= 8:
+        if i <= 6:
+            # below 2^-6 the doubling loop degenerates (34 QPS at 2^-7) and
+            # its beam-2560+ kernels can crash the TPU worker (kernel fault)
             run("postfiltering_80_2",
                 lambda: post.batch_search(queries, filters, NQ, qp))
         qp40 = build_query_params(K, 40, final_beam_multiply=2)
