@@ -70,20 +70,28 @@ def main():
         lo = rng.uniform(0, 1 - width, NQ) if width < 1 else np.zeros(NQ)
         filters = np.stack([lo, lo + width], 1)
 
-        ids_gt, _ = pre.batch_search(queries, filters, NQ, qp10)
-        gt_sets = [set(r.astype(np.int64).tolist()) for r in ids_gt]
+        ids_gt, d_gt = pre.batch_search(queries, filters, NQ, qp10)
+        fmax = np.finfo(np.float32).max
+        # pad slots carry dist FLT_MAX (the id pad value is method-specific
+        # and id 0 is a legal point) — windows narrower than k make them
+        # common at tiny fractions, and recall is over the TRUE result count
+        gt_sets = [
+            set(ids_gt[q][d_gt[q] < fmax].astype(np.int64).tolist())
+            for q in range(NQ)]
 
         def run(name, fn):
             fn()  # warm
             best = 1e9
-            ids = None
+            ids = d = None
             for _ in range(2):
                 t0 = time.perf_counter()
-                ids, _d = fn()
+                ids, d = fn()
                 best = min(best, time.perf_counter() - t0)
             rec = np.mean([
-                len(gt_sets[q] & set(ids[q].astype(np.int64).tolist())) / K
-                for q in range(NQ)])
+                (len(gt_sets[q]
+                     & set(ids[q][d[q] < fmax].astype(np.int64).tolist()))
+                 / len(gt_sets[q])) if gt_sets[q] else 1.0
+                for q in range(NQ)])  # empty window -> vacuously correct
             rows.append(f"pow{-i},{name},{rec:.4f},{best/NQ:.8f},"
                         f"{NQ/best:.1f},1")
             log(f"2^-{i} {name}: recall={rec:.4f} qps={NQ/best:.0f}")
