@@ -34,6 +34,10 @@ from ..utils.data import first_geq, make_pointset, pad_queries, sort_by_labels
 from .base import finalize_output, maybe_attach_inline, next_pow2
 from .vamana import SlabGraph, build_vamana_graph
 
+# Largest beam the TPU beam-search kernel is known to run safely; 5120 has
+# crashed the worker ("kernel fault"). Doubling loops clamp to this.
+MAX_SAFE_BEAM = 2560
+
 
 def _filter_topk(f_ids, f_dists, graph: SlabGraph, win_lo, win_hi, k):
     """Window-filter each frontier on device, return host (counts, ids [Q,k],
@@ -120,12 +124,16 @@ def doubling_postfilter(
     """
     nq = len(starts)
     k = qp.k
+    # Safety clamp: beam-search kernels at beam >= ~5120 crash the TPU worker
+    # (Mosaic kernel fault, see CLAUDE.md "Known TPU faults"); any query whose
+    # doubling reaches this cap is in a regime the trees serve 100x faster.
+    max_beam = min(qp.postfiltering_max_beam, MAX_SAFE_BEAM)
     cur_beam = np.full(nq, qp.beamSize, dtype=np.int64)
     res_i = np.full((nq, k), int(EMPTY_ID), dtype=np.int64)
     res_d = np.full((nq, k), np.inf, dtype=np.float32)
     done = np.zeros(nq, dtype=bool)
     # mirror the per-query loop: run while (survivors < k) and (beam < max)
-    done |= cur_beam >= qp.postfiltering_max_beam  # loop never entered
+    done |= cur_beam >= max_beam  # loop never entered
 
     stat_buf = []  # (ids_for, row_idx, num_visited fut, dist_cmps fut):
     #                 folded in one batched fetch — add_beam_result per
@@ -177,7 +185,7 @@ def doubling_postfilter(
             sel = np.nonzero(~done & (cur_beam == b))[0]
             fut, _ = _search_and_filter(sel, b)
             launches.append((sel, b, fut))
-            fb = min(b * qp.final_beam_multiply, qp.postfiltering_max_beam)
+            fb = min(b * qp.final_beam_multiply, max_beam)
             if first_round and fb > b:
                 # spec stats fold later, only for queries that take the result
                 s_fut, s_res = _search_and_filter(sel, fb, collect_stats=False)
@@ -195,7 +203,7 @@ def doubling_postfilter(
             done[sel[enough]] = True
             grow = sel[~enough]
             cur_beam[grow] *= 2
-            done[grow] |= cur_beam[grow] >= qp.postfiltering_max_beam
+            done[grow] |= cur_beam[grow] >= max_beam
             if b in spec:  # speculative final for THIS beam class (same sel)
                 fb, _, s_res = spec[b]
                 _, ti_s, td_s = spec_fetched[b]
@@ -211,7 +219,7 @@ def doubling_postfilter(
     # final pass at beam * final_beam_multiply (ref: postfilter_vamana.h:173-181)
     # for queries whose speculative final didn't apply (doubled, or fm == 1)
     served = cur_beam < 0
-    final_beam = np.minimum(cur_beam * qp.final_beam_multiply, qp.postfiltering_max_beam)
+    final_beam = np.minimum(cur_beam * qp.final_beam_multiply, max_beam)
     needs_final = (final_beam > cur_beam) & ~served
     launches = []
     for b in np.unique(final_beam[needs_final]):
