@@ -70,21 +70,23 @@ class SlabGraph:
     def sync_to_device(self):
         self.nbrs_dev = jnp.asarray(self.nbrs_host)
 
-    def inline_bytes(self, ps: PointSet) -> int:
+    def inline_bytes(self, ps: PointSet, dtype=jnp.float32) -> int:
         """HBM cost of attach_inline for this slab."""
-        from .base import next_pow2  # noqa: F401  (doc cross-ref only)
-
         w = ps.norm_col if ps.norm_col >= 0 else ps.d_pad
         w = -(-w // 128) * 128
-        return self.m * self.R * (w * 4 + 4)
+        return self.m * self.R * (w * jnp.dtype(dtype).itemsize + 4)
 
-    def attach_inline(self, ps: PointSet) -> "SlabGraph":
+    def attach_inline(self, ps: PointSet, dtype=jnp.float32) -> "SlabGraph":
         """Materialize each node's neighbor VECTORS contiguously ([m, R, w]
-        fp32 + [m, R] norms), so beam-search expansion gathers one block per
+        + [m, R] fp32 norms), so beam-search expansion gathers one block per
         node instead of R scattered point rows (XLA row gathers are
-        row-rate-bound — see docs/PERFORMANCE.md). Exact: fp32 copies of the
-        point store with the fused-norm column zeroed. Costs inline_bytes()
-        of HBM — callers gate on budget."""
+        row-rate-bound — see docs/PERFORMANCE.md). dtype=float32 is exact
+        (fp32 copies of the point store, fused-norm column zeroed);
+        dtype=bfloat16 halves the HBM cost — vectors upcast after the gather
+        and norms stay fp32, so the only error is bf16 storage rounding of x
+        (~|q||x|*2^-8/sqrt(d) on distances: frontier ordering noise, ~0.1%
+        recall at SIFT scales). Costs inline_bytes() of HBM — callers gate
+        on budget."""
         w = ps.norm_col if ps.norm_col >= 0 else ps.d_pad
         w = -(-w // 128) * 128
         safe = jnp.clip(self.nbrs_dev, 0, self.m - 1)
@@ -92,7 +94,7 @@ class SlabGraph:
         src = ps.data[:, :w]
         if ps.norm_col >= 0 and ps.norm_col < w:
             src = src.at[:, ps.norm_col].set(0.0)
-        self.nbr_vecs = src[gid]  # [m, R, w]
+        self.nbr_vecs = src.astype(dtype)[gid]  # [m, R, w]
         self.nbr_norms = ps.norms_sq[gid]
         return self
 

@@ -288,7 +288,9 @@ def batched_beam_search(
             # inline path: one contiguous [R, w] block per expanded node
             blk = nbr_vecs[cur_safe][..., :r, :]  # [Q, E, r, w]
             w = blk.shape[-1]
-            vecs = blk.reshape(q, -1, w)
+            # bf16 inline stores upcast AFTER the gather: the matmul stays
+            # fp32 (only x's storage rounding remains; norms are fp32)
+            vecs = blk.reshape(q, -1, w).astype(jnp.float32)
             nrm = nbr_norms[cur_safe][..., :r].reshape(q, -1)
             cand_dist = gathered_distances(queries[:, :w], vecs, nrm, metric)
         else:

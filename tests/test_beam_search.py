@@ -228,3 +228,38 @@ def test_inline_neighbor_blocks_match_standard(rng):
     assert np.array_equal(np.asarray(a.frontier_ids), np.asarray(b.frontier_ids))
     np.testing.assert_allclose(np.asarray(a.frontier_dists),
                                np.asarray(b.frontier_dists), rtol=1e-5)
+
+
+def test_inline_bf16_blocks_high_recall(rng):
+    """bf16 inline blocks keep frontier quality: >= 9 of top-10 ids match the
+    exact path per query on well-separated data (storage rounding only)."""
+    import jax.numpy as jnp
+
+    from rangefilteredann_tpu.models.vamana import SlabGraph
+    from rangefilteredann_tpu.utils.data import make_pointset, pad_queries
+
+    n, d, r, q, beam = 800, 24, 8, 16, 16
+    centers = rng.normal(size=(20, d)).astype(np.float32)
+    points = (centers[rng.integers(0, 20, n)]
+              + .2 * rng.normal(size=(n, d))).astype(np.float32)
+    ps = make_pointset(points, "l2")
+    nbrs = random_graph(rng, n, r)
+    g = SlabGraph(jnp.asarray(nbrs), jnp.arange(n, dtype=jnp.int32), nbrs,
+                  (nbrs >= 0).sum(1).astype(np.int32), np.array([0, n]),
+                  np.arange(n), True)
+    g.attach_inline(ps, jnp.bfloat16)
+    assert g.nbr_vecs.dtype == jnp.bfloat16
+    queries = jnp.asarray(pad_queries(
+        rng.normal(size=(q, d)).astype(np.float32), d, ps.d_pad))
+    starts = jnp.zeros((q,), jnp.int32)
+    kw = dict(beam=beam, k=0, cut=jnp.float32(1.35), limit=jnp.int32(n),
+              metric="l2", norm_col=ps.norm_col, identity_map=True)
+    a = batched_beam_search(ps.data, ps.norms_sq, g.nbrs_dev,
+                            g.slab_to_global_dev, queries, starts, **kw)
+    b = batched_beam_search(ps.data, ps.norms_sq, g.nbrs_dev,
+                            g.slab_to_global_dev, queries, starts,
+                            nbr_vecs=g.nbr_vecs, nbr_norms=g.nbr_norms, **kw)
+    ai = np.asarray(a.frontier_ids)[:, :10]
+    bi = np.asarray(b.frontier_ids)[:, :10]
+    overlap = np.mean([len(set(ai[i]) & set(bi[i])) for i in range(q)])
+    assert overlap >= 9.0, overlap
