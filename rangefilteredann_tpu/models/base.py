@@ -170,6 +170,17 @@ def maybe_attach_inline(graph, ps) -> bool:
         graph.attach_inline(ps)
         return True
     if graph.inline_bytes(ps, jnp.bfloat16) <= INLINE_BUDGET:
+        # surfaced signal (advisor round 1): bf16 inline storage rounds
+        # distances ~0.1%, so expand=1 searches are no longer oracle-exact
+        # in this configuration; graph.inline_dtype lets callers tell.
+        import warnings
+
+        warnings.warn(
+            "inline neighbor blocks attached as bfloat16 (fp32 exceeds "
+            f"RFANN_INLINE_BUDGET={INLINE_BUDGET}); distances are approximate "
+            "at ~1e-3 relative — check graph.inline_dtype",
+            stacklevel=2,
+        )
         graph.attach_inline(ps, jnp.bfloat16)
         return True
     return False

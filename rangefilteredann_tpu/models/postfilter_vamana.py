@@ -34,9 +34,12 @@ from ..utils.data import first_geq, make_pointset, pad_queries, sort_by_labels
 from .base import finalize_output, maybe_attach_inline, next_pow2
 from .vamana import SlabGraph, build_vamana_graph
 
-# Largest beam the TPU beam-search kernel is known to run safely; 5120 has
-# crashed the worker ("kernel fault"). Doubling loops clamp to this.
-MAX_SAFE_BEAM = 2560
+# Largest beam the TPU beam-search kernel runs safely. Observed worker
+# faults: 5120 always, and beams around 2560 intermittently (CLAUDE.md
+# "Known TPU faults"), so the clamp sits strictly below the smallest
+# ambiguously-faulting beam until the Mosaic fault is root-caused.
+# Doubling loops clamp to this; queries needing more belong on the trees.
+MAX_SAFE_BEAM = 2048
 
 
 def _filter_topk(f_ids, f_dists, graph: SlabGraph, win_lo, win_hi, k):
@@ -128,12 +131,13 @@ def doubling_postfilter(
     # (Mosaic kernel fault, see CLAUDE.md "Known TPU faults"); any query whose
     # doubling reaches this cap is in a regime the trees serve 100x faster.
     max_beam = min(qp.postfiltering_max_beam, MAX_SAFE_BEAM)
-    cur_beam = np.full(nq, qp.beamSize, dtype=np.int64)
+    # do-while semantics: at least one search always runs, even when the
+    # requested beam meets/exceeds the cap (then it runs once AT the cap) —
+    # ref loop postfilter_vamana.h:161-172 always searches before testing
+    cur_beam = np.minimum(np.full(nq, qp.beamSize, dtype=np.int64), max_beam)
     res_i = np.full((nq, k), int(EMPTY_ID), dtype=np.int64)
     res_d = np.full((nq, k), np.inf, dtype=np.float32)
     done = np.zeros(nq, dtype=bool)
-    # mirror the per-query loop: run while (survivors < k) and (beam < max)
-    done |= cur_beam >= max_beam  # loop never entered
 
     stat_buf = []  # (ids_for, row_idx, num_visited fut, dist_cmps fut):
     #                 folded in one batched fetch — add_beam_result per

@@ -136,7 +136,7 @@ class SuperOptimizedPostfilterTree:
                     and os.path.exists(canon)):
                 load_from = canon
         if load_from and os.path.exists(load_from):
-            with np.load(fname) as z:
+            with np.load(load_from) as z:
                 nbrs = z["nbrs"]
             return SlabGraph(
                 nbrs_dev=jnp.asarray(nbrs),

@@ -60,6 +60,13 @@ class SlabGraph:
     nbr_norms: Optional[jax.Array] = None  # [m, R] their ||x||^2
 
     @property
+    def inline_dtype(self):
+        """Storage dtype of the inline neighbor blocks (None = not attached).
+        Callers/benchmarks use this to tell exact (float32) from approximate
+        (bfloat16 storage rounding) inline configurations."""
+        return None if self.nbr_vecs is None else self.nbr_vecs.dtype
+
+    @property
     def m(self) -> int:
         return self.nbrs_host.shape[0]
 

@@ -168,3 +168,21 @@ def test_row0_shares_whole_dataset_cache(rng, tmp_path):
     tree = RangeFilterTreeIndex(pts, labels, cutoff=300, split_factor=2,
                                 build_params=bp, seed=5)
     assert np.array_equal(tree._graphs[0].nbrs_host, flat._graph.nbrs_host)
+
+
+def test_super_row0_shares_whole_dataset_cache(rng, tmp_path):
+    """Super-tree analogue: row 0 must load the flat index's whole-dataset
+    cache when only that exists (advisor round 1: the load path read the
+    row-0 filename instead of the shared one and crashed)."""
+    from rangefilteredann_tpu.models.postfilter_vamana import (
+        PostfilterVamanaIndex)
+
+    n, d = 600, 16
+    pts = rng.normal(size=(n, d)).astype(np.float32)
+    labels = rng.uniform(size=n)
+    bp = BuildParams(R=8, L=16, alpha=1.2, cache_path=str(tmp_path) + "/")
+    flat = PostfilterVamanaIndex(pts, labels, bp)
+    tree = SuperOptimizedPostfilterTree(pts, labels, cutoff=300,
+                                        split_factor=2.0, shift_factor=0.5,
+                                        build_params=bp, seed=5)
+    assert np.array_equal(tree._graphs[0].nbrs_host, flat._graph.nbrs_host)

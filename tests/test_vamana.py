@@ -105,6 +105,35 @@ def test_postfilter_vamana_recall(rng, gt_fn, metric):
     assert recall > 0.85, f"postfilter recall {recall} ({metric})"
 
 
+def test_postfilter_beam_at_clamp_still_searches(rng, gt_fn, monkeypatch):
+    """A requested beamSize at/above MAX_SAFE_BEAM must still run one search
+    AT the clamp (do-while semantics, ref postfilter_vamana.h:161-172) — the
+    round-1 code marked such queries done before any search and returned
+    all-empty results (advisor finding, medium)."""
+    from rangefilteredann_tpu.models import postfilter_vamana as pv
+
+    monkeypatch.setattr(pv, "MAX_SAFE_BEAM", 32)
+    n, d, k = 1200, 16, 10
+    points = rng.normal(size=(n, d)).astype(np.float32)
+    labels = rng.uniform(size=n)
+    idx = PostfilterVamanaIndex(points, labels, BuildParams(R=16, L=32, alpha=1.2))
+    nq = 16
+    queries = rng.normal(size=(nq, d)).astype(np.float32)
+    starts_f = rng.uniform(0, 0.5, size=nq)
+    filters = np.stack([starts_f, starts_f + 0.5], axis=1)
+    qp = build_query_params(k, 64, final_beam_multiply=4)  # beam 64 > clamp 32
+    ids, dists = idx.batch_search(queries, filters, nq, qp)
+    # every query has a wide window: results must be non-empty and sane
+    assert (dists[:, 0] < np.finfo(np.float32).max).all()
+    gt_ids, _ = gt_fn(points, labels, queries, filters, k, "l2")
+    recall = np.mean([
+        len(set(ids[i].astype(int)) & set(gt_ids[i][gt_ids[i] >= 0].astype(int)))
+        / max((gt_ids[i] >= 0).sum(), 1)
+        for i in range(nq)
+    ])
+    assert recall > 0.5, f"clamped-beam recall {recall}"
+
+
 def test_reverse_edges_match_groupby_oracle(rng):
     """The on-device reverse-edge bookkeeping (sort + segmented ranks +
     cond-gated overfull prune) must match a NumPy group-by-key oracle that
