@@ -1,15 +1,20 @@
-"""Benchmark: QPS at recall@10 >= 0.9, filter fraction 2^-2, beam-doubling
-postfiltering over a Vamana graph (BASELINE.md config #1 shape: SIFT-like
-fp32 L2 vectors, uniform labels, k=10).
+"""Benchmark: QPS at recall@10 >= 0.9, filter fraction 2^-2, best method
+(BASELINE.md config #1 shape: SIFT-like fp32 L2 vectors, uniform labels,
+k=10, 10k-query batches like the reference protocol).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": QPS, "unit": "qps", "vs_baseline": ...}
+  {"metric": ..., "value": QPS, "unit": "qps", "vs_baseline": ...,
+   "families": {per-family best QPS + recall}}
 
 vs_baseline divides by BASELINE_CPU_QPS, an order-of-magnitude estimate of
 the reference's multicore-CPU QPS at recall 0.9 for this config (the repo
 publishes no absolute numbers — BASELINE.md: "published: {}"; the paper's
 SIFT Pareto fronts at fraction 2^-2 sit around 1e5 QPS at recall 0.9 on a
 large multicore box). The north-star target is vs_baseline >= 10.
+
+Every family is timed as best-of-N (N>=2) after an untimed warm-up — the
+shared-pool tunnel drifts up to ~1.5x between runs, and min is the stable
+statistic (round-1 verdict item 9).
 
 The built graph is cached under bench_cache/ and XLA compilations under
 .jax_cache/, so steady-state bench runs measure query throughput, not builds.
@@ -40,7 +45,7 @@ N = 200_000
 D = 128
 K = 10
 FRACTION = 2.0**-2
-NQ = 2048
+NQ = 10240  # reference protocol uses 10,000-query batches (run_our_method.py)
 BASELINE_CPU_QPS = 1.0e5
 BEAMS = [10, 20, 40, 80, 160, 320]
 FINAL_MULTIPLIES = [2, 4]
@@ -52,10 +57,15 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _timed(fn):
-    t0 = time.time()
+def best_of(fn, reps):
+    """Untimed warm-up, then min over `reps` timed runs (tunnel drift)."""
     fn()
-    return time.time() - t0
+    best = np.inf
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        best = min(best, time.time() - t0)
+    return best
 
 
 def main():
@@ -83,36 +93,43 @@ def main():
     gt_ids, _ = gt_idx.batch_search(queries, filters, NQ, build_query_params(K, K))
     gt_sets = [set(row.astype(np.int64).tolist()) for row in gt_ids]
 
-    best = None
-    # exact prefiltering is a first-class method (recall 1.0 by construction);
-    # the reference's comparison methodology takes the best method per recall
-    # threshold (ref: experiments/create_table.py:5-37)
-    dt = min(
-        _timed(lambda: gt_idx.batch_search(
-            queries, filters, NQ, build_query_params(K, K)))
-        for _ in range(5)  # best-of-5: the shared-pool link drifts up to
-        # ~1.5x between runs (docs/PERFORMANCE.md); min is the stable statistic
-    )
+    def recall_of(ids):
+        return float(np.mean([
+            len(gt_sets[i] & set(ids[i].astype(np.int64).tolist())) / K
+            for i in range(NQ)
+        ]))
+
+    families = {}
+
+    def record(family, qps, recall, cfg):
+        fam = families.setdefault(family, {"qps": 0.0, "recall": 0.0})
+        if recall >= 0.9 and qps > fam["qps"]:
+            fam.update(qps=round(qps, 1), recall=round(recall, 4), config=cfg)
+
+    # --- exact prefiltering: a first-class method (recall 1.0 by
+    # construction; the reference's methodology takes the best method per
+    # recall threshold, ref: experiments/create_table.py:5-37) ---
+    dt = best_of(lambda: gt_idx.batch_search(
+        queries, filters, NQ, build_query_params(K, K)), reps=3)
     log(f"prefilter (exact): recall=1.0 qps={NQ / dt:.0f}")
-    best = (NQ / dt, 1.0, 0, 0)
+    record("prefilter", NQ / dt, 1.0, "exact")
+
+    # --- flat beam-doubling postfiltering ---
     for fm in FINAL_MULTIPLIES:
         for beam in BEAMS:
             qp = build_query_params(K, beam, final_beam_multiply=fm)
-            ids, _ = idx.batch_search(queries, filters, NQ, qp)  # warm-up
-            t0 = time.time()
-            ids, _ = idx.batch_search(queries, filters, NQ, qp)
-            dt = time.time() - t0
-            qps = NQ / dt
-            recall = np.mean([
-                len(gt_sets[i] & set(ids[i].astype(np.int64).tolist())) / K
-                for i in range(NQ)
-            ])
-            log(f"beam={beam} fm={fm}: recall={recall:.4f} qps={qps:.0f}")
-            if recall >= 0.9 and (best is None or qps > best[0]):
-                best = (qps, recall, beam, fm)
+            ids_box = {}
 
-    # B-WST tree methods — only when the row caches exist (a cold tree build
-    # is ~35 min at this scale; the driver's bench run must stay bounded)
+            def run(qp=qp, box=ids_box):
+                box["ids"], _ = idx.batch_search(queries, filters, NQ, qp)
+
+            dt = best_of(run, reps=2)
+            recall = recall_of(ids_box["ids"])
+            log(f"beam={beam} fm={fm}: recall={recall:.4f} qps={NQ/dt:.0f}")
+            record("postfilter", NQ / dt, recall, f"beam={beam},fm={fm}")
+
+    # --- B-WST tree methods — only when the row caches exist (a cold tree
+    # build is ~5 min at this scale; the driver's bench run must stay bounded)
     from rangefilteredann_tpu.models.range_filter_tree import row_cache_filename
 
     tree_bp = BuildParams(R=48, L=100, alpha=1.2, cache_path="bench_cache/")
@@ -128,18 +145,17 @@ def main():
         for method in ("fenwick", "optimized_postfilter", "three_split"):
             for beam in (40, 80):
                 qp = build_query_params(K, beam, final_beam_multiply=2)
-                ids, _ = tree.batch_search(queries, filters, NQ, method, qp)
-                t0 = time.time()
-                ids, _ = tree.batch_search(queries, filters, NQ, method, qp)
-                dt = time.time() - t0
-                recall = np.mean([
-                    len(gt_sets[i] & set(ids[i].astype(np.int64).tolist())) / K
-                    for i in range(NQ)
-                ])
+                box = {}
+
+                def run(method=method, qp=qp, box=box):
+                    box["ids"], _ = tree.batch_search(
+                        queries, filters, NQ, method, qp)
+
+                dt = best_of(run, reps=2)
+                recall = recall_of(box["ids"])
                 log(f"tree-{method} beam={beam}: recall={recall:.4f} "
                     f"qps={NQ/dt:.0f}")
-                if recall >= 0.9 and NQ / dt > best[0]:
-                    best = (NQ / dt, recall, beam, 2)
+                record(method, NQ / dt, recall, f"beam={beam},fm=2")
     else:
         log("tree caches absent; skipping tree methods")
 
@@ -158,32 +174,25 @@ def main():
         )
         for beam in (40, 80):
             qp = build_query_params(K, beam, final_beam_multiply=2)
-            sup.batch_search(queries, filters, NQ, qp)
-            t0 = time.time()
-            ids, _ = sup.batch_search(queries, filters, NQ, qp)
-            dt = time.time() - t0
-            recall = np.mean([
-                len(gt_sets[i] & set(ids[i].astype(np.int64).tolist())) / K
-                for i in range(NQ)
-            ])
+            box = {}
+
+            def run(qp=qp, box=box):
+                box["ids"], _ = sup.batch_search(queries, filters, NQ, qp)
+
+            dt = best_of(run, reps=2)
+            recall = recall_of(box["ids"])
             log(f"super beam={beam}: recall={recall:.4f} qps={NQ/dt:.0f}")
-            if recall >= 0.9 and NQ / dt > best[0]:
-                best = (NQ / dt, recall, beam, 2)
+            record("super", NQ / dt, recall, f"beam={beam},fm=2")
     else:
         log("super caches absent; skipping super-postfiltering")
 
-    if best is None:
-        print(json.dumps({
-            "metric": "qps_at_recall0.9_frac2pow-2_window200k_best_method",
-            "value": 0.0, "unit": "qps", "vs_baseline": 0.0,
-        }))
-        return
-    qps, recall, beam, fm = best
+    best_qps = max((f["qps"] for f in families.values()), default=0.0)
     print(json.dumps({
         "metric": "qps_at_recall0.9_frac2pow-2_window200k_best_method",
-        "value": round(qps, 1),
+        "value": best_qps,
         "unit": "qps",
-        "vs_baseline": round(qps / BASELINE_CPU_QPS, 3),
+        "vs_baseline": round(best_qps / BASELINE_CPU_QPS, 3),
+        "families": families,
     }))
 
 

@@ -36,13 +36,39 @@ def window_gather_max() -> int:
 MIN_CLASS = 64  # smallest padded window / batch size
 # Cap on gathered bytes per windowed_bruteforce launch (fp32), to bound HBM use.
 GATHER_BYTES_BUDGET = 1 << 30
-# Queries per pipelined full-scan launch (4 Pallas QBLOCKs of 128): chunks
-# are enqueued back-to-back so host->device uploads overlap kernel execution.
-SCAN_CHUNK = 512
+# Queries per full-scan launch. One launch for everything (round-2 change):
+# chunked launches were measured to SERIALIZE over the tunnel (4 chunks of
+# 512 took ~55 ms where one 2048-query launch takes ~8 ms — the per-dispatch
+# floor dwarfs any upload/compute overlap). The cap only bounds device
+# scratch for huge query sets.
+SCAN_CHUNK = 16384
+
+
+@jax.jit
+def _pack_di(d, i):
+    """Bitcast-pack (dists f32 [Q,k], ids int32 [Q,k]) into one int32 [Q,2k]
+    so results come back in ONE tunnel fetch (each device_get round trip has
+    a ~30 ms dispatch floor on the remote link)."""
+    return jnp.concatenate(
+        [jax.lax.bitcast_convert_type(d, jnp.int32), i.astype(jnp.int32)],
+        axis=1)
+
+
+def _unpack_di(arr: np.ndarray, k: int):
+    arr = np.asarray(arr)
+    return arr[:, :k].view(np.float32), arr[:, k:]
 
 
 def next_pow2(x: int) -> int:
     return 1 << max(0, int(np.ceil(np.log2(max(1, x)))))
+
+
+def pad_batch(q: int) -> int:
+    """Padded device batch size for a q-query launch: pow2 up to 2048, then
+    2048-multiples (pow2 padding wastes up to 2x at protocol-size batches —
+    10,000 queries would pad to 16,384 — while 2048-multiples keep the set of
+    compiled shapes small)."""
+    return next_pow2(max(q, 64)) if q <= 2048 else -(-q // 2048) * 2048
 
 
 def pow2_classes(widths: np.ndarray, lo: int = MIN_CLASS, hi: int | None = None):
@@ -98,40 +124,46 @@ def batched_range_bruteforce(
                     data, norms_sq, jnp.asarray(qs), jnp.asarray(ss), jnp.asarray(ee),
                     window=int(w), k=k, metric=metric, norm_col=norm_col,
                 )
-                d, i = jax.device_get((d, i))  # one tunnel round trip
+                d, i = _unpack_di(
+                    jax.device_get(_pack_di(d, i)), k)  # ONE tunnel round trip
                 out_d[chunk] = d[: len(chunk)]
                 out_i[chunk] = i[: len(chunk)]
     # --- large windows: tiled full scan ---
     if (~small).any():
         sel = np.nonzero(~small)[0]
-        # midpoint-sort so each pipelined chunk covers a tight tile union,
-        # then launch fixed-size chunks WITHOUT syncing between them: uploads
-        # of chunk i+1 overlap the kernel of chunk i (the tunnel's upload
-        # latency otherwise serializes with compute).
+        # midpoint-sort so every Pallas query block covers a tight tile union
         sel = sel[np.argsort(starts[sel] + ends[sel], kind="stable")]
         on_tpu = jax.default_backend() == "tpu"
         chunk_q = SCAN_CHUNK if len(sel) > SCAN_CHUNK else len(sel)
         futures = []
+        # stream only the lanes holding real dims (d_eff): the fused ||x||^2
+        # column region beyond them is dead weight (2x at d=128, where d_pad
+        # is 256) — for the MXU, the DMA, AND the query upload (the remote
+        # tunnel moves ~110 MB/s, so a 10k-query batch uploads 5 MB vs 10)
+        w_d = (d_pad if norm_col is None or norm_col < 0
+               else pad_dim(norm_col))
         for lo in range(0, len(sel), chunk_q):
             chunk = sel[lo : lo + chunk_q]
-            qpad = next_pow2(max(len(chunk), MIN_CLASS))
-            qs = np.zeros((qpad, d_pad), dtype=np.float32)
+            # pad to a QBLOCK multiple (rounded to 1024 above that, keeping
+            # the set of compiled query shapes small)
+            if len(chunk) <= 1024:
+                qpad = next_pow2(max(len(chunk), MIN_CLASS))
+            else:
+                qpad = -(-len(chunk) // 1024) * 1024
+            qw = w_d if on_tpu else d_pad
+            qs = np.zeros((qpad, qw), dtype=np.float32)
             ss = np.zeros((qpad,), dtype=np.int32)
             ee = np.zeros((qpad,), dtype=np.int32)
-            qs[: len(chunk)] = queries_padded[chunk]
+            qs[: len(chunk)] = queries_padded[chunk, :qw]
             ss[: len(chunk)] = starts[chunk]
             ee[: len(chunk)] = ends[chunk]
             if on_tpu:
-                # fused Pallas kernel: matmul + window mask + in-VMEM top-k.
-                # d_eff: stream only the lanes holding real dims — the fused
-                # ||x||^2 column region beyond them is dead weight here
-                # (2x at d=128, where d_pad is 256). max_tiles bounds the
-                # grid's tile dimension to this chunk's true per-block need.
+                # fused Pallas kernel: matmul + window mask + in-VMEM top-k;
+                # max_tiles bounds the grid's tile dimension to this chunk's
+                # true per-block need
                 d, i = pallas_scan_bruteforce(
                     data, norms_sq, jnp.asarray(qs), jnp.asarray(ss),
-                    jnp.asarray(ee), k=k, metric=metric,
-                    d_eff=(None if norm_col is None or norm_col < 0
-                           else pad_dim(norm_col)),
+                    jnp.asarray(ee), k=k, metric=metric, d_eff=w_d,
                     max_tiles=host_max_tiles(ss, ee, data.shape[0]),
                 )
             else:
@@ -139,9 +171,10 @@ def batched_range_bruteforce(
                     data, norms_sq, jnp.asarray(qs), jnp.asarray(ss),
                     jnp.asarray(ee), k=k, metric=metric,
                 )
-            futures.append((chunk, d, i))
-        fetched = jax.device_get([(d, i) for _, d, i in futures])
-        for (chunk, _, _), (d, i) in zip(futures, fetched):
+            futures.append((chunk, _pack_di(d, i)))
+        fetched = jax.device_get([p for _, p in futures])
+        for (chunk, _), packed in zip(futures, fetched):
+            d, i = _unpack_di(packed, k)
             out_d[chunk] = d[: len(chunk)]
             out_i[chunk] = i[: len(chunk)]
     return out_d, out_i

@@ -31,7 +31,7 @@ from ..ops.beam_search import (
 from ..ops.topk import EMPTY_ID
 from ..params import BuildParams, QueryParams
 from ..utils.data import first_geq, make_pointset, pad_queries, sort_by_labels
-from .base import finalize_output, maybe_attach_inline, next_pow2
+from .base import finalize_output, maybe_attach_inline, pad_batch
 from .vamana import SlabGraph, build_vamana_graph
 
 # Largest beam the TPU beam-search kernel runs safely. Observed worker
@@ -78,7 +78,7 @@ def _run_beam_batch(
     batch shards across devices (index replicated) — the kernel is per-query
     SPMD so XLA partitions the while_loop with zero collectives."""
     q = len(starts)
-    qpow = next_pow2(max(q, 64))
+    qpow = pad_batch(q)
     if mesh is not None:  # batch must divide evenly across devices
         nd = int(np.prod(mesh.devices.shape))
         qpow = -(-qpow // nd) * nd

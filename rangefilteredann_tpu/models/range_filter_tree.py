@@ -54,6 +54,7 @@ from .base import (
     batched_range_bruteforce,
     finalize_output,
     next_pow2,
+    pad_batch,
     whole_dataset_cache,
 )
 from .postfilter_vamana import _filter_topk, doubling_postfilter
@@ -310,7 +311,7 @@ class RangeFilterTreeIndex:
             for beam in np.unique(beams[rows == r]):
                 sel = np.nonzero((rows == r) & (beams == beam))[0]
                 starts = off[buckets[sel]].astype(np.int32)
-                tp = next_pow2(max(len(sel), 64))
+                tp = pad_batch(len(sel))
                 qs = np.zeros((tp, queries_padded.shape[1]), np.float32)
                 st = np.zeros((tp,), np.int32)
                 act = np.zeros((tp,), bool)

@@ -93,9 +93,25 @@ class SuperOptimizedPostfilterTree:
         self._rows = super_row_layout(n, self._cutoff, self._split, self._shift)
         self._mesh = None
         self._graphs: List[SlabGraph] = []
-        for r, (bsize, bshift, nb) in enumerate(self._rows):
-            slab_offsets, s2g = self._row_slab(n, bsize, bshift, nb)
-            self._graphs.append(self._load_or_build_row(r, slab_offsets, s2g, seed))
+        # One shared slab shape for rows >= 1 (row 0 keeps the whole-dataset
+        # shape so it shares the flat graph's cache and compiled kernels):
+        # every overlapping row's slab is ~n/shift_factor but each differs
+        # slightly, and each distinct slab size costs fresh 20-40s XLA
+        # compiles for every build-step and query-beam shape — padding all
+        # rows to one size compiles once (round-1 verdict item 8).
+        from .vamana import max_step_insert
+
+        layouts = [self._row_slab(n, bs, sh, nb)
+                   for (bs, sh, nb) in self._rows]
+        pad_rows = insert_pad = 0
+        if len(layouts) > 1:
+            pad_rows = -(-max(int(o[-1]) for o, _ in layouts[1:]) // 4096) * 4096
+            insert_pad = max(max_step_insert(o) for o, _ in layouts[1:])
+        for r, (slab_offsets, s2g) in enumerate(layouts):
+            self._graphs.append(self._load_or_build_row(
+                r, slab_offsets, s2g, seed,
+                pad_rows=0 if r == 0 else pad_rows,
+                insert_pad=0 if r == 0 else insert_pad))
 
     @staticmethod
     def _row_slab(n, bsize, bshift, nb):
@@ -120,7 +136,8 @@ class SuperOptimizedPostfilterTree:
             self._cutoff, r,
         )
 
-    def _load_or_build_row(self, r, slab_offsets, s2g, seed) -> SlabGraph:
+    def _load_or_build_row(self, r, slab_offsets, s2g, seed, pad_rows=0,
+                           insert_pad=0) -> SlabGraph:
         from .base import whole_dataset_cache
 
         fname = self._row_cache_file(r)
@@ -135,9 +152,20 @@ class SuperOptimizedPostfilterTree:
             if (fname and not os.path.exists(fname)
                     and os.path.exists(canon)):
                 load_from = canon
+        m_real = int(slab_offsets[-1])
+        m_pad = max(m_real, pad_rows)
         if load_from and os.path.exists(load_from):
             with np.load(load_from) as z:
                 nbrs = z["nbrs"]
+            # caches store the REAL rows (padding-agnostic); pad on load so
+            # all rows share one device shape
+            if nbrs.shape[0] < m_pad:
+                nbrs = np.concatenate([
+                    nbrs, np.full((m_pad - nbrs.shape[0], nbrs.shape[1]), -1,
+                                  dtype=nbrs.dtype)])
+            if len(s2g) < m_pad:
+                s2g = np.concatenate(
+                    [s2g, np.full(m_pad - len(s2g), s2g[-1], dtype=s2g.dtype)])
             return SlabGraph(
                 nbrs_dev=jnp.asarray(nbrs),
                 slab_to_global_dev=jnp.asarray(s2g.astype(np.int32)),
@@ -145,14 +173,18 @@ class SuperOptimizedPostfilterTree:
                 degrees=(nbrs >= 0).sum(axis=1).astype(np.int32),
                 bucket_slab_offsets=slab_offsets,
                 slab_to_global_host=s2g,
-                identity_s2g=bool(np.array_equal(s2g, np.arange(len(s2g)))),
+                identity_s2g=bool(
+                    m_pad == self._ps.n
+                    and np.array_equal(s2g, np.arange(len(s2g)))),
             )
-        g = build_vamana_graph(self._ps, s2g, slab_offsets, self._bp, seed=seed + r)
+        g = build_vamana_graph(self._ps, s2g, slab_offsets, self._bp,
+                               seed=seed + r, pad_rows=pad_rows,
+                               insert_pad=insert_pad)
         if fname:
             os.makedirs(os.path.dirname(fname), exist_ok=True)
-            np.savez_compressed(fname, nbrs=g.nbrs_host)
+            np.savez_compressed(fname, nbrs=g.nbrs_host[:m_real])
             if canon and not os.path.exists(canon):
-                np.savez_compressed(canon, nbrs=g.nbrs_host)
+                np.savez_compressed(canon, nbrs=g.nbrs_host[:m_real])
         return g
 
     def shard(self, mesh) -> "SuperOptimizedPostfilterTree":

@@ -106,6 +106,19 @@ class SlabGraph:
         return self
 
 
+def max_step_insert(bucket_slab_offsets) -> int:
+    """Largest per-step insert batch the aligned schedules of this slab will
+    produce (the quantity build_vamana_graph pads to). Lets callers with many
+    slabs compute one shared `insert_pad` so all slabs compile one shape."""
+    sizes = np.diff(np.asarray(bucket_slab_offsets))
+    schedules = [_batch_schedule(int(s)) for s in sizes]
+    n_steps = max(len(s) for s in schedules)
+    return max(
+        sum(s[t][1] - s[t][0] for s in schedules if t < len(s))
+        for t in range(n_steps)
+    )
+
+
 def _batch_schedule(m: int, base: float = 2.0, max_fraction: float = 0.02):
     """Exponential insert batches (ref: index.h:228-255). Returns [(lo, hi))."""
     max_batch = min(int(max_fraction * m), 1_000_000)
@@ -292,10 +305,25 @@ def build_vamana_graph(
     seed: int = 0,
     visited_cap: Optional[int] = None,
     verbose: bool = False,
+    pad_rows: int = 0,  # pad the adjacency slab to this many rows: callers
+    # with many similar-sized slabs (super-tree rows) pass one shared size so
+    # every row builds AND queries with the same compiled shapes — each
+    # distinct slab size otherwise costs a fresh 20-40s XLA compile per
+    # (step/beam) shape. Pad rows are isolated: never inserted, no edges,
+    # unreachable (scatters use mode="drop" against the padded length).
+    insert_pad: int = 0,  # lower bound on the padded insert-batch size, for
+    # the same compile-sharing reason (ignored if the schedule needs more)
 ) -> SlabGraph:
     """Build Vamana graphs over every bucket of a slab simultaneously."""
     rng = np.random.default_rng(seed)
-    m_slab = int(bucket_slab_offsets[-1])
+    m_real = int(bucket_slab_offsets[-1])
+    m_slab = max(m_real, int(pad_rows))
+    if len(slab_to_global) < m_slab:  # extend with any valid global id
+        slab_to_global = np.concatenate([
+            slab_to_global,
+            np.full(m_slab - len(slab_to_global), slab_to_global[-1],
+                    dtype=slab_to_global.dtype),
+        ])
     nb = len(bucket_slab_offsets) - 1
     R, L, alpha = bp.R, bp.L, bp.alpha
     v_cap = visited_cap or (int(1.25 * L) + 64)
@@ -325,7 +353,7 @@ def build_vamana_graph(
         sum(s[t][1] - s[t][0] for s in schedules if t < len(s))
         for t in range(n_steps)
     )
-    mp = next_pow2(max(mb_max, 64))
+    mp = next_pow2(max(mb_max, insert_pad, 64))
     chunk = min(PRUNE_CHUNK, mp)
     rev_cap = next_pow2(2 * R)  # reverse-edge prune candidate width
 

@@ -12,13 +12,21 @@ is one contiguous tile range):
     each block's grid walks only the block's UNION tile range, routed through
     a PrefetchScalarGridSpec index map (steps past the block's range re-map
     to the same tile, which Pallas dedups into no DMA and a predicated skip).
-  * a tile whose distances can't improve any query's current k-th best skips
-    the top-k merge entirely (the MXU block still runs; the VPU extraction —
-    the actual per-tile cost — does not).
+  * extraction is *insertion-based with early exit* (round-2 redesign): per
+    round, each query picks its best remaining candidate via a per-128-lane
+    group-minima table and inserts it into its sorted running top-k; rounds
+    stop as soon as no query can improve. Per-tile cost is therefore
+    O(entries + 1) passes, not O(k) — measured 1.7x over the previous
+    fixed-k tournament at TILE=512, and enables TILE=2048 (4x fewer grid
+    steps) for ~3.4x total.
+  * candidate ids are derived from the column position (tile_idx*TILE +
+    group*128 + argmin), so no id planes are materialized or masked.
 
-Exactness: identical results to the XLA path (same distance formulation,
-same (dist, id) tie order) — pytest-enforced in tests/test_pallas.py via
-interpret mode on CPU.
+Exactness: identical results to the XLA path (same fp32-HIGHEST distance
+formulation, same (dist, id) tie order) — pytest-enforced in
+tests/test_pallas.py via interpret mode on CPU. A bf16 single-pass variant
+was measured (tools/exp_scan2.py) and rejected: extraction, not the MXU,
+dominates, so bf16 saves <10% while costing exactness.
 """
 
 from __future__ import annotations
@@ -36,85 +44,13 @@ from ..utils.data import METRIC_L2, METRIC_MIPS
 # inside the pallas kernel, which pallas_call rejects
 EMPTY_ID = 2**31 - 1
 
-TILE = 512  # points per grid step
-QBLOCK = 128  # queries per grid step; [QBLOCK, TILE] f32 dists = 256 KB VMEM
-
-
-def _extract_topk(dists, ids, k):
-    """k rounds of (argmin, mask): returns ([Q, k] dists, [Q, k] ids) sorted
-    ascending by (dist, id). Ties resolve to the lowest id because column
-    order is id order and argmin takes the first minimum."""
-    q, t = dists.shape
-    col = jax.lax.broadcasted_iota(jnp.int32, (q, t), 1)
-    out_d, out_i = [], []
-    for _ in range(k):
-        arg = jnp.argmin(dists, axis=1)  # first min -> lowest id on ties
-        sel = col == arg[:, None]
-        out_d.append(jnp.min(dists, axis=1))
-        out_i.append(jnp.where(sel, ids, EMPTY_ID).min(axis=1))
-        # blank both dist AND id of the taken element, so exhausted rounds
-        # (all-inf rows) emit EMPTY_ID rather than a stale already-taken id
-        dists = jnp.where(sel, jnp.inf, dists)
-        ids = jnp.where(sel, EMPTY_ID, ids)
-    return jnp.stack(out_d, axis=1), jnp.stack(out_i, axis=1)
-
-
-TOUR_W = 128  # tournament group width (one lane tile; Mosaic-friendly 2D slices)
-
-
-def _extract_topk_tournament(dists, ids, k):
-    """Exact top-k over a wide tile via a two-level tournament: fold the T
-    columns into G = T/128 lane-aligned groups, keep per-group running minima,
-    and per round (a) pick the winning group from the [Q, G] table, (b) argmin
-    only inside that group's [Q, 128] slice, (c) mask the taken element
-    (one full-width pass) and repair that one group minimum. Identical
-    (dist, id) order to _extract_topk — global argmin == argmin over group
-    minima with first-min tie-breaking, because group order is column order —
-    at a fraction of the full-width VPU passes. Pure 2D ops throughout
-    (Mosaic rejects cross-lane reshapes inside Pallas kernels).
-    """
-    q, t = dists.shape
-    w = min(TOUR_W, t)
-    assert t % w == 0, (t, w)  # a remainder group would be silently dropped
-    g = t // w
-    groups_d = [dists[:, i * w : (i + 1) * w] for i in range(g)]
-    groups_i = [ids[:, i * w : (i + 1) * w] for i in range(g)]
-    bm = jnp.concatenate(
-        [jnp.min(gd, axis=1, keepdims=True) for gd in groups_d], axis=1
-    )  # [Q, G]
-    iota_g = jax.lax.broadcasted_iota(jnp.int32, (q, g), 1)
-    col_t = jax.lax.broadcasted_iota(jnp.int32, (q, t), 1)
-    iota_w = jax.lax.broadcasted_iota(jnp.int32, (q, w), 1)
-    out_d, out_i = [], []
-    for _ in range(k):
-        best = jnp.min(bm, axis=1)  # [Q]
-        g_sel = jnp.argmin(bm, axis=1)  # first minimal group = lowest cols
-        # select the winning group's slice (G-way select over [Q, w])
-        blk_d = groups_d[0]
-        blk_i = groups_i[0]
-        for gi in range(1, g):
-            pick = (g_sel == gi)[:, None]
-            blk_d = jnp.where(pick, groups_d[gi], blk_d)
-            blk_i = jnp.where(pick, groups_i[gi], blk_i)
-        a = jnp.argmin(blk_d, axis=1)  # [Q] first min inside the group
-        sel_w = iota_w == a[:, None]
-        out_d.append(best)
-        out_i.append(jnp.where(sel_w, blk_i, EMPTY_ID).min(axis=1))
-        # mask the taken element: one full-width pass over dists/ids, then
-        # re-derive the taken group's slice min from the updated planes
-        taken_col = g_sel * w + a
-        taken = col_t == taken_col[:, None]
-        dists = jnp.where(taken, jnp.inf, dists)
-        ids = jnp.where(taken, EMPTY_ID, ids)
-        groups_d = [dists[:, i * w : (i + 1) * w] for i in range(g)]
-        groups_i = [ids[:, i * w : (i + 1) * w] for i in range(g)]
-        new_min = jnp.where(sel_w, jnp.inf, blk_d).min(axis=1)  # [Q]
-        bm = jnp.where(iota_g == g_sel[:, None], new_min[:, None], bm)
-    return jnp.stack(out_d, axis=1), jnp.stack(out_i, axis=1)
+TILE = 2048  # points per grid step (VMEM: 1 MB data tile + 1 MB dist scratch)
+QBLOCK = 128  # queries per grid step
+_W = 128  # lane-group width for the minima table
 
 
 def host_max_tiles(starts: "np.ndarray", ends: "np.ndarray", n: int,
-                   round_to: int = 32) -> int:
+                   round_to: int = 8) -> int:
     """Host-side replica of the kernel's per-block union-tile-count math
     (same stable midpoint sort, same blocking): the max count over blocks,
     rounded up to `round_to` so the set of compiled grids stays small. Pass
@@ -138,13 +74,32 @@ def host_max_tiles(starts: "np.ndarray", ends: "np.ndarray", n: int,
     return min(n_tiles, -(-count // round_to) * round_to)
 
 
+def _insert_round(out_d, out_i, cand_d, cand_i, valid):
+    """Insert (cand_d, cand_i) into each row's sorted-ascending (dist, id)
+    top-k; rows with valid=False unchanged. Ties: the candidate goes after
+    equal dists — tiles and groups scan upward in id, so this keeps
+    lowest-id-first, matching the XLA path's (dist, id) order."""
+    q, k = out_d.shape
+    stay = out_d <= cand_d[:, None]  # prefix mask: out_d is sorted ascending
+    pos = jnp.sum(stay.astype(jnp.int32), axis=1)  # insertion index per row
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (q, k), 1)
+    is_pos = iota_k == pos[:, None]
+    prev_d = jnp.concatenate([out_d[:, :1], out_d[:, :-1]], axis=1)
+    prev_i = jnp.concatenate([out_i[:, :1], out_i[:, :-1]], axis=1)
+    new_d = jnp.where(stay, out_d, jnp.where(is_pos, cand_d[:, None], prev_d))
+    new_i = jnp.where(stay, out_i, jnp.where(is_pos, cand_i[:, None], prev_i))
+    v = valid[:, None]
+    return jnp.where(v, new_d, out_d), jnp.where(v, new_i, out_i)
+
+
 def _scan_kernel(blk_start_ref, blk_count_ref, starts_ref, ends_ref, q_ref,
-                 data_ref, norms_ref, out_d_ref, out_i_ref,
-                 *, k, metric, n_real):
+                 data_ref, norms_ref, out_d_ref, out_i_ref, dist_ref,
+                 *, k, metric, n_real, tile, groups):
     # grid = (query_blocks, max_tiles); tiles iterate innermost so the
     # running top-k in out_*_ref accumulates across tiles of one query block
     b = pl.program_id(0)
     t = pl.program_id(1)
+    g = groups
 
     @pl.when(t == 0)
     def _():
@@ -167,30 +122,53 @@ def _scan_kernel(blk_start_ref, blk_count_ref, starts_ref, ends_ref, q_ref,
         else:  # MIPS
             dist = -ip
         q = dist.shape[0]
-        col = tile_idx * TILE + jax.lax.broadcasted_iota(jnp.int32, (q, TILE), 1)
+        col = tile_idx * tile + jax.lax.broadcasted_iota(jnp.int32, (q, tile), 1)
         valid = (
             (col >= starts_ref[:])
             & (col < ends_ref[:])
             & (col < n_real)
         )
-        dist = jnp.where(valid, dist, jnp.inf)
+        dist_ref[:] = jnp.where(valid, dist, jnp.inf)
+        # per-128-lane-group minima table [Q, G]
+        gm = jnp.concatenate(
+            [jnp.min(dist_ref[:, i * _W:(i + 1) * _W], axis=1, keepdims=True)
+             for i in range(g)], axis=1)
         worst = out_d_ref[:, k - 1]
-        # a finite tie at the k-th distance must still merge: the incoming id
-        # is larger (tiles scan upward) but intermediate ranks can shift
-        improving = jnp.any(
-            (dist < worst[:, None])
-            | ((dist == worst[:, None]) & (dist < jnp.inf))
-        )
 
-        @pl.when(improving)
-        def _():
-            ids = jnp.where(valid, col, EMPTY_ID)
-            tile_d, tile_i = _extract_topk_tournament(dist, ids, k)
-            comb_d = jnp.concatenate([out_d_ref[:], tile_d], axis=1)
-            comb_i = jnp.concatenate([out_i_ref[:], tile_i], axis=1)
-            best_d, best_i = _extract_topk(comb_d, comb_i, k)
-            out_d_ref[:] = best_d
-            out_i_ref[:] = best_i
+        def cond(carry):
+            gm, worst = carry
+            return jnp.any(jnp.min(gm, axis=1) < worst)
+
+        def body(carry):
+            gm, worst = carry
+            best = jnp.min(gm, axis=1)  # [Q]
+            g_sel = jnp.argmin(gm, axis=1)  # [Q] first minimal group
+            improving = best < worst
+            # each query selects its own winning group's slice
+            blk = dist_ref[:, 0:_W]
+            for gi in range(1, g):
+                blk = jnp.where((g_sel == gi)[:, None],
+                                dist_ref[:, gi * _W:(gi + 1) * _W], blk)
+            a = jnp.argmin(blk, axis=1)  # [Q] first min inside the slice
+            cand_i = tile_idx * tile + g_sel * _W + a
+            nd, ni = _insert_round(out_d_ref[:], out_i_ref[:], best, cand_i,
+                                   improving)
+            out_d_ref[:] = nd
+            out_i_ref[:] = ni
+            # mask the taken element and repair that one group minimum
+            iota_w = jax.lax.broadcasted_iota(jnp.int32, (q, _W), 1)
+            sel_w = (iota_w == a[:, None]) & improving[:, None]
+            new_min = jnp.min(jnp.where(sel_w, jnp.inf, blk), axis=1)
+            for gi in range(g):
+                pick = ((g_sel == gi) & improving)[:, None]
+                dist_ref[:, gi * _W:(gi + 1) * _W] = jnp.where(
+                    pick & sel_w, jnp.inf, dist_ref[:, gi * _W:(gi + 1) * _W])
+            iota_g = jax.lax.broadcasted_iota(jnp.int32, gm.shape, 1)
+            gm = jnp.where((iota_g == g_sel[:, None]) & improving[:, None],
+                           new_min[:, None], gm)
+            return gm, nd[:, k - 1]
+
+        jax.lax.while_loop(cond, body, (gm, worst))
 
 
 @functools.partial(
@@ -208,9 +186,8 @@ def pallas_scan_bruteforce(
     max_tiles: "int | None" = None,  # static upper bound on any query block's
     # tile count (host-computed from the same blocking arithmetic, rounded up
     # to bound recompiles). The grid's tile dimension otherwise spans ALL
-    # n/TILE tiles, and the predicated skip steps past a block's range cost
-    # ~10us of grid overhead each — at fraction 2^-2 over 200k points that is
-    # 2.6x more grid steps than active ones.
+    # n/TILE tiles; predicated skip steps past a block's range still cost
+    # grid overhead each.
     d_eff: "int | None" = None,  # lane-aligned width covering the true d:
     # the kernel streams only data[:, :d_eff] / queries[:, :d_eff]. The point
     # store fuses ||x||^2 at column d and pads to the next 128 multiple, so
@@ -221,7 +198,8 @@ def pallas_scan_bruteforce(
 ):
     """Fused tiled scan. Returns (dists [Q, k], ids [Q, k] int32), L2 dists in
     the internal shifted form (see ops/distances.py). Same contract as
-    ops/bruteforce.scan_bruteforce."""
+    ops/bruteforce.scan_bruteforce. Q must be a multiple of QBLOCK (or < QBLOCK
+    and a power of two) — callers pad."""
     if metric not in (METRIC_L2, METRIC_MIPS):
         raise ValueError(metric)
     n, d_pad = data.shape
@@ -243,7 +221,7 @@ def pallas_scan_bruteforce(
     e_s = ends[order]
 
     qb = min(q, QBLOCK)
-    n_qb = q // qb  # q is pow2-padded by callers, so this divides evenly
+    n_qb = q // qb  # q is QBLOCK-multiple-padded by callers
     # per-block union tile range (empty windows contribute nothing)
     sb = s_s.reshape(n_qb, qb)
     eb = e_s.reshape(n_qb, qb)
@@ -281,8 +259,10 @@ def pallas_scan_bruteforce(
             pl.BlockSpec((qb, k), qrow_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((qb, k), qrow_map, memory_space=pltpu.VMEM),
         ],
+        scratch_shapes=[pltpu.VMEM((qb, TILE), jnp.float32)],
     )
-    kern = functools.partial(_scan_kernel, k=k, metric=metric, n_real=n)
+    kern = functools.partial(_scan_kernel, k=k, metric=metric, n_real=n,
+                             tile=TILE, groups=TILE // _W)
     out_d, out_i = pl.pallas_call(
         kern,
         grid_spec=grid_spec,

@@ -57,25 +57,37 @@ def test_pallas_scan_duplicate_points_ties(rng):
     np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
 
 
-def test_tournament_extraction_matches_simple(rng):
-    """_extract_topk_tournament must be (dist, id)-order identical to
-    _extract_topk, including duplicate distances and exhausted rows."""
+def test_insert_round_matches_sorted_merge(rng):
+    """_insert_round (the kernel's sorted-insert primitive) must reproduce a
+    lexsort-by-(dist, insertion-order) oracle under heavy ties, partial rows
+    (inf/EMPTY slots), and invalid candidates."""
     import jax
-    from rangefilteredann_tpu.ops.pallas_scan import (
-        EMPTY_ID, _extract_topk, _extract_topk_tournament)
+    from rangefilteredann_tpu.ops.pallas_scan import EMPTY_ID, _insert_round
 
-    q, t, k = 32, 512, 10
-    # heavy ties: few distinct values; some rows mostly empty
-    d = rng.choice([0.0, 1.0, 2.0, np.inf], p=[.1, .2, .2, .5],
-                   size=(q, t)).astype(np.float32)
-    ids = np.where(np.isfinite(d), np.arange(t)[None, :], EMPTY_ID)
-    ids = ids.astype(np.int32)
-    d[0, :] = np.inf  # fully exhausted row
-    ids[0, :] = EMPTY_ID
-    a_d, a_i = jax.jit(lambda x, y: _extract_topk(x, y, k))(d, ids)
-    b_d, b_i = jax.jit(lambda x, y: _extract_topk_tournament(x, y, k))(d, ids)
-    assert np.array_equal(np.asarray(a_d), np.asarray(b_d))
-    assert np.array_equal(np.asarray(a_i), np.asarray(b_i))
+    q, k, rounds = 64, 10, 30
+    out_d = np.full((q, k), np.inf, dtype=np.float32)
+    out_i = np.full((q, k), EMPTY_ID, dtype=np.int32)
+    # oracle: per row, the list of accepted (dist, seq, id) sorted by
+    # (dist, seq) — insertion puts equal dists after existing ones
+    oracle = [[] for _ in range(q)]
+    step = jax.jit(_insert_round)
+    for r in range(rounds):
+        cand_d = rng.choice([0.0, 1.0, 2.0, 3.5], size=q).astype(np.float32)
+        cand_i = rng.integers(0, 10_000, size=q).astype(np.int32)
+        valid = rng.uniform(size=q) < 0.7
+        out_d, out_i = step(out_d, out_i, jnp.asarray(cand_d),
+                            jnp.asarray(cand_i), jnp.asarray(valid))
+        for row in range(q):
+            if valid[row]:
+                oracle[row].append((float(cand_d[row]), r, int(cand_i[row])))
+                oracle[row].sort(key=lambda x: (x[0], x[1]))
+                del oracle[row][k:]
+    out_d, out_i = np.asarray(out_d), np.asarray(out_i)
+    for row in range(q):
+        want_d = [x[0] for x in oracle[row]] + [np.inf] * (k - len(oracle[row]))
+        want_i = [x[2] for x in oracle[row]] + [EMPTY_ID] * (k - len(oracle[row]))
+        np.testing.assert_array_equal(out_d[row], np.float32(want_d))
+        np.testing.assert_array_equal(out_i[row], np.int32(want_i))
 
 
 def test_host_max_tiles_grid_matches_full(rng):
@@ -85,13 +97,13 @@ def test_host_max_tiles_grid_matches_full(rng):
         host_max_tiles, pallas_scan_bruteforce)
     from rangefilteredann_tpu.utils.data import make_pointset, pad_queries
 
-    n, d, q, k = 4096, 24, 256, 5
+    n, d, q, k = 32768, 24, 256, 5
     pts = rng.normal(size=(n, d)).astype(np.float32)
     ps = make_pointset(pts, "l2")
     queries = jnp.asarray(pad_queries(
         rng.normal(size=(q, d)).astype(np.float32), d, ps.d_pad))
     ss = rng.integers(0, n // 2, size=q).astype(np.int32)
-    ee = (ss + rng.integers(600, n // 2, size=q)).astype(np.int32)
+    ee = (ss + rng.integers(600, n // 4, size=q)).astype(np.int32)
     mt = host_max_tiles(ss, ee, n, round_to=1)
     a = pallas_scan_bruteforce(ps.data, ps.norms_sq, queries,
                                jnp.asarray(ss), jnp.asarray(ee), k, "l2",
@@ -99,6 +111,7 @@ def test_host_max_tiles_grid_matches_full(rng):
     b = pallas_scan_bruteforce(ps.data, ps.norms_sq, queries,
                                jnp.asarray(ss), jnp.asarray(ee), k, "l2",
                                interpret=True, max_tiles=mt)
-    assert mt < -(-n // 512)  # the bound actually bit (grid < n_tiles)
+    from rangefilteredann_tpu.ops.pallas_scan import TILE
+    assert mt < -(-n // TILE)  # the bound actually bit (grid < n_tiles)
     assert np.array_equal(np.asarray(a[1]), np.asarray(b[1]))
     assert np.array_equal(np.asarray(a[0]), np.asarray(b[0]))

@@ -134,6 +134,26 @@ def test_postfilter_beam_at_clamp_still_searches(rng, gt_fn, monkeypatch):
     assert recall > 0.5, f"clamped-beam recall {recall}"
 
 
+def test_padded_slab_build_identical(rng):
+    """build_vamana_graph with pad_rows/insert_pad must produce EXACTLY the
+    same graph on the real rows as the unpadded build (pad rows are isolated)
+    — this is what lets all super-tree rows share one compiled shape."""
+    from rangefilteredann_tpu.models.vamana import build_vamana_graph
+
+    n, d = 700, 12
+    points = rng.normal(size=(n, d)).astype(np.float32)
+    ps = make_pointset(points, "l2")
+    offsets = np.array([0, 300, 700], dtype=np.int64)
+    s2g = np.arange(n, dtype=np.int64)
+    bp = BuildParams(R=8, L=16, alpha=1.2, cache_path="")
+    a = build_vamana_graph(ps, s2g, offsets, bp, seed=3)
+    b = build_vamana_graph(ps, s2g, offsets, bp, seed=3, pad_rows=1024,
+                           insert_pad=128)
+    assert b.nbrs_host.shape[0] == 1024
+    assert np.array_equal(a.nbrs_host, b.nbrs_host[:n])
+    assert (b.nbrs_host[n:] == -1).all()
+
+
 def test_reverse_edges_match_groupby_oracle(rng):
     """The on-device reverse-edge bookkeeping (sort + segmented ranks +
     cond-gated overfull prune) must match a NumPy group-by-key oracle that
