@@ -94,6 +94,8 @@ def batched_range_bruteforce(
     Returns (dists [Q, k] f32 shifted-L2, ids [Q, k] int64 sorted-order ids).
     Empty slots: id EMPTY_ID, dist +inf.
     """
+    if norm_col is not None and norm_col < 0:
+        norm_col = None  # integer stores carry no fused-norm column
     nq = len(starts)
     d_pad = queries_padded.shape[1]
     widths = np.maximum(ends - starts, 0)
@@ -198,6 +200,14 @@ def maybe_attach_inline(graph, ps) -> bool:
     import os
 
     if jax.default_backend() == "cpu" or os.environ.get("RFANN_NO_INLINE"):
+        return False
+    if ps.data.dtype in (jnp.int8, jnp.uint8):
+        # native byte storage: inline blocks in the SAME dtype are exact and
+        # 4x smaller than fp32 — this is what lets 1M+ int8 stores keep
+        # inline-class QPS inside the HBM budget
+        if graph.inline_bytes(ps, ps.data.dtype) <= INLINE_BUDGET:
+            graph.attach_inline(ps, ps.data.dtype)
+            return True
         return False
     if graph.inline_bytes(ps) <= INLINE_BUDGET:
         graph.attach_inline(ps)

@@ -289,8 +289,12 @@ def batched_beam_search(
             blk = nbr_vecs[cur_safe][..., :r, :]  # [Q, E, r, w]
             w = blk.shape[-1]
             # bf16 inline stores upcast AFTER the gather: the matmul stays
-            # fp32 (only x's storage rounding remains; norms are fp32)
-            vecs = blk.reshape(q, -1, w).astype(jnp.float32)
+            # fp32 (only x's storage rounding remains; norms are fp32);
+            # int8/uint8 inline blocks stay integer — gathered_distances
+            # runs them as exact bf16 MXU passes
+            vecs = blk.reshape(q, -1, w)
+            if vecs.dtype == jnp.bfloat16:
+                vecs = vecs.astype(jnp.float32)
             nrm = nbr_norms[cur_safe][..., :r].reshape(q, -1)
             cand_dist = gathered_distances(queries[:, :w], vecs, nrm, metric)
         else:

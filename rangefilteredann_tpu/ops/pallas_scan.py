@@ -111,12 +111,21 @@ def _scan_kernel(blk_start_ref, blk_count_ref, starts_ref, ends_ref, q_ref,
     @pl.when(t < count)
     def _():
         tile_idx = blk_start_ref[b] + t
-        # HIGHEST: fp32 dots otherwise run as one bf16 MXU pass, whose ~1e-3
-        # error reorders true neighbors (see ops/distances.MATMUL_PRECISION)
-        ip = jnp.dot(
-            q_ref[:], data_ref[:].T, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [Q, T] MXU block
+        if data_ref.dtype in (jnp.int8, jnp.uint8):
+            # native integer storage: bf16 casts are exact for byte values,
+            # one MXU pass (see ops/distances.mxu_operands)
+            ip = jnp.dot(
+                q_ref[:].astype(jnp.bfloat16),
+                data_ref[:].astype(jnp.bfloat16).T,
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            # HIGHEST: fp32 dots otherwise run as one bf16 MXU pass, whose
+            # ~1e-3 error reorders true neighbors (ops/distances)
+            ip = jnp.dot(
+                q_ref[:], data_ref[:].T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [Q, T] MXU block
         if metric == METRIC_L2:
             dist = norms_ref[:] - 2.0 * ip
         else:  # MIPS

@@ -22,18 +22,19 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from .distances import MATMUL_PRECISION
+from .distances import MATMUL_PRECISION, mxu_operands
 from .topk import EMPTY_ID
 
 
 def _true_dists(vecs_a, norms_a, vecs_b, norms_b, metric):
     """d(a_i, b_i_c) for a [m, d] vs b [m, C, d] -> [m, C] true distances."""
+    b_c, a_c, prec = mxu_operands(vecs_b, vecs_a)
     ip = jax.lax.dot_general(
-        vecs_b,
-        vecs_a[..., None].astype(vecs_b.dtype),
+        b_c,
+        a_c[..., None],
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-        precision=MATMUL_PRECISION,
+        precision=prec,
     )[..., 0]
     if metric == "l2":
         return norms_a[:, None] + norms_b - 2.0 * ip
@@ -102,12 +103,13 @@ def robust_prune(
     lhs = s_vecs
     if norm_col is not None:  # "query" side of the dot stays norm-free
         lhs = lhs.at[..., norm_col].set(0.0)
+    rhs_c, lhs_c, prec = mxu_operands(s_vecs, lhs)
     gram = jax.lax.dot_general(
-        lhs,
-        s_vecs.astype(lhs.dtype),
+        lhs_c,
+        rhs_c,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-        precision=MATMUL_PRECISION,
+        precision=prec,
     )  # [m, C, C]
     if metric == "l2":
         pair_d = s_norms[:, :, None] + s_norms[:, None, :] - 2.0 * gram

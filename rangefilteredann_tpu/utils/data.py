@@ -101,14 +101,28 @@ def make_pointset(
 ) -> PointSet:
     """Pad + upload a host point matrix.
 
-    Integer dtypes (uint8/int8, as in the reference's Uint8/Int8 variants) are
-    widened to float32: products and <=2^24 sums are exactly representable, so
-    integer L2/IP distances stay exact for d <= 256.
+    Integer dtypes (uint8/int8, the reference's Uint8/Int8 variants — ref:
+    euclidian_point.h:68-112 stores bytes and computes integer distances)
+    keep NATIVE int8/uint8 storage: 1 byte per dim in HBM (4x less than the
+    round-1 fp32 widening — the route to 12M-point stores on one chip) with
+    distances still exact — integer values are exactly representable in
+    bfloat16, so distance matmuls run as single bf16 MXU passes with exact
+    fp32 accumulation (see ops/distances.mxu_operands). Integer stores carry
+    no fused ||x||^2 column (norms exceed the byte range); norms_sq serves
+    instead, in fp32 (exact to 2^24 — d <= 256 worst case; 512-dim uint8
+    can round the last ~2 ulp of a 3.3e7 norm).
     """
     metric = canonical_metric(metric)
     if points.ndim != 2:
         raise ValueError("points array must be 2-dimensional")
     n, d = points.shape
+    if points.dtype in (np.int8, np.uint8):
+        dp = pad_dim(max(d, 1))
+        host = np.zeros((n, dp), dtype=points.dtype)
+        host[:, :d] = points
+        norms = (host.astype(np.float64) ** 2).sum(axis=1).astype(np.float32)
+        return PointSet(data=jnp.asarray(host), norms_sq=jnp.asarray(norms),
+                        n=n, d=d, metric=metric, norm_col=-1)
     dp = pad_dim(d + 1)  # + 1 slot for the fused ||x||^2 column
     host = np.zeros((n, dp), dtype=np.float32)
     host[:, :d] = points.astype(np.float32)
