@@ -188,7 +188,10 @@ def batched_range_bruteforce(
 # TPU here has 16 GB HBM and the 200k flat graph costs ~4.9 GB.
 import os as _os
 
-INLINE_BUDGET = int(float(_os.environ.get("RFANN_INLINE_BUDGET", 6e9)))
+# default 7e9: the 200k fp32 inline slab is 4.9 GB and the 1M int8-quantized
+# slab is 6.3 GB; the chip has 16 GB HBM (~13.5 usable) and the data +
+# adjacency + search state of those configs leave ~7 GB headroom
+INLINE_BUDGET = int(float(_os.environ.get("RFANN_INLINE_BUDGET", 7e9)))
 
 
 def maybe_attach_inline(graph, ps) -> bool:
@@ -212,12 +215,12 @@ def maybe_attach_inline(graph, ps) -> bool:
     if graph.inline_bytes(ps) <= INLINE_BUDGET:
         graph.attach_inline(ps)
         return True
+    import warnings
+
     if graph.inline_bytes(ps, jnp.bfloat16) <= INLINE_BUDGET:
         # surfaced signal (advisor round 1): bf16 inline storage rounds
         # distances ~0.1%, so expand=1 searches are no longer oracle-exact
         # in this configuration; graph.inline_dtype lets callers tell.
-        import warnings
-
         warnings.warn(
             "inline neighbor blocks attached as bfloat16 (fp32 exceeds "
             f"RFANN_INLINE_BUDGET={INLINE_BUDGET}); distances are approximate "
@@ -225,6 +228,19 @@ def maybe_attach_inline(graph, ps) -> bool:
             stacklevel=2,
         )
         graph.attach_inline(ps, jnp.bfloat16)
+        return True
+    if graph.inline_bytes(ps, jnp.int8) <= INLINE_BUDGET:
+        # int8-quantized inline + exact rerank of final candidates — the 1M+
+        # regime (fp32 inline is 24.5 GB at 1M; int8 is 6.1). Frontier
+        # ordering carries the quantization error; doubling_postfilter
+        # exact-reranks the final top-(k+slack) in fp32.
+        warnings.warn(
+            "inline neighbor blocks attached as int8-quantized (bf16 exceeds "
+            f"RFANN_INLINE_BUDGET={INLINE_BUDGET}); final candidates are "
+            "exact-reranked — check graph.nbr_scale",
+            stacklevel=2,
+        )
+        graph.attach_inline(ps, jnp.int8)
         return True
     return False
 

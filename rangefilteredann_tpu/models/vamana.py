@@ -58,6 +58,8 @@ class SlabGraph:
 
     nbr_vecs: Optional[jax.Array] = None  # [m, R, w] inline neighbor vectors
     nbr_norms: Optional[jax.Array] = None  # [m, R] their ||x||^2
+    nbr_scale: Optional[jax.Array] = None  # [m] dequant scales when nbr_vecs
+    # is an int8 QUANTIZATION of a float store (None = vectors are exact)
 
     @property
     def inline_dtype(self):
@@ -101,7 +103,28 @@ class SlabGraph:
         src = ps.data[:, :w]
         if ps.norm_col >= 0 and ps.norm_col < w:
             src = src.at[:, ps.norm_col].set(0.0)
-        self.nbr_vecs = src.astype(dtype)[gid]  # [m, R, w]
+        if dtype == jnp.int8 and src.dtype not in (jnp.int8, jnp.uint8):
+            # QUANTIZED inline for float stores (round-1 verdict item 3):
+            # per-node symmetric int8 with one scale over the node's [R, w]
+            # block; searches dequantize inside the distance and callers
+            # exact-rerank the final candidates (ops/beam_search.exact_rerank).
+            # Chunked: a full fp32 gather of [m, R, w] would need 4x the HBM
+            # the quantized result takes.
+            m = self.m
+            chunk = 1 << 16
+            n_ch = -(-m // chunk)
+            buf = jnp.zeros((n_ch * chunk, self.R, w), dtype=jnp.int8)
+            sc = jnp.zeros((n_ch * chunk,), dtype=jnp.float32)
+            gid_pad = jnp.concatenate(
+                [gid, jnp.zeros((n_ch * chunk - m, self.R), gid.dtype)])
+            for c in range(n_ch):
+                buf, sc = _quant_inline_chunk(
+                    buf, sc, src, gid_pad, jnp.int32(c * chunk), chunk=chunk)
+            self.nbr_vecs = buf[:m]
+            self.nbr_scale = sc[:m]
+        else:
+            self.nbr_vecs = src.astype(dtype)[gid]  # [m, R, w]
+            self.nbr_scale = None
         self.nbr_norms = ps.norms_sq[gid]
         return self
 
@@ -117,6 +140,19 @@ def max_step_insert(bucket_slab_offsets) -> int:
         sum(s[t][1] - s[t][0] for s in schedules if t < len(s))
         for t in range(n_steps)
     )
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=("chunk",))
+def _quant_inline_chunk(buf, sc, src, gid, lo, *, chunk):
+    """Quantize one chunk of inline neighbor blocks into the donated int8
+    buffer: per-node symmetric scale over the [R, w] block."""
+    g = jax.lax.dynamic_slice_in_dim(gid, lo, chunk, axis=0)  # [c, R]
+    v = src[g].astype(jnp.float32)  # [c, R, w]
+    s = jnp.maximum(jnp.abs(v).max(axis=(1, 2)), 1e-12) / 127.0
+    qv = jnp.clip(jnp.round(v / s[:, None, None]), -127, 127).astype(jnp.int8)
+    buf = jax.lax.dynamic_update_slice_in_dim(buf, qv, lo, axis=0)
+    sc = jax.lax.dynamic_update_slice_in_dim(sc, s, lo, axis=0)
+    return buf, sc
 
 
 def _batch_schedule(m: int, base: float = 2.0, max_fraction: float = 0.02):

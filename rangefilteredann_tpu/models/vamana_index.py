@@ -118,8 +118,20 @@ class VamanaIndex:
             identity_map=True,
             nbr_vecs=self._graph.nbr_vecs,
             nbr_norms=self._graph.nbr_norms,
+            nbr_scale=self._graph.nbr_scale,
         )
-        ids, dists = jax.device_get((res.frontier_ids, res.frontier_dists))
+        f_ids, f_d = res.frontier_ids, res.frontier_dists
+        if self._graph.nbr_scale is not None:
+            # quantized inline: frontier scores carry int8 rounding —
+            # exact-rerank the top-(k+slack) in fp32 (identity slab map:
+            # frontier slab ids ARE global rows)
+            from ..ops.beam_search import exact_rerank
+
+            f_ids, f_d = exact_rerank(
+                ps.data, ps.norms_sq, jnp.asarray(qs),
+                f_ids[:, : int(knn) + 8], int(knn), ps.metric,
+                norm_col=ps.norm_col if ps.norm_col >= 0 else None)
+        ids, dists = jax.device_get((f_ids, f_d))
         ids = ids[:num_queries, :knn].astype(np.int64)
         dists = dists[:num_queries, :knn]
         return finalize_output(dists, ids, None, q_norms, ps.metric, pad_id=0)

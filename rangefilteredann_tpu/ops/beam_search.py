@@ -81,6 +81,34 @@ def window_filter_topk(
     return counts, g[:, :k], d[:, :k]
 
 
+@functools.partial(jax.jit, static_argnames=("k", "metric", "norm_col"))
+def exact_rerank(
+    data: jax.Array,  # [n, d_pad] global point store (float)
+    norms_sq: jax.Array,  # [n]
+    queries: jax.Array,  # [Q, d_pad] f32
+    gids: jax.Array,  # [Q, C] global sorted ids, EMPTY_ID padded
+    k: int,
+    metric: str,
+    norm_col: Optional[int] = None,
+):
+    """Recompute exact fp32 distances for candidate global ids and return the
+    (dist, id)-sorted top-k: (counts-unchanged helper for quantized-inline
+    searches, whose frontier scores carry int8 rounding). One [Q, C] row
+    gather — C is k + a small slack, so this is noise next to the search."""
+    n = data.shape[0]
+    valid = gids != EMPTY_ID
+    safe = jnp.clip(gids, 0, n - 1)
+    vecs = data[safe]
+    if norm_col is not None:
+        d = fused_norm_distances(vecs, queries, metric, norm_col)
+    else:
+        d = gathered_distances(queries, vecs, norms_sq[safe], metric)
+    d = jnp.where(valid, d, jnp.inf)
+    g = jnp.where(valid, gids, EMPTY_ID)
+    d, g = jax.lax.sort((d, g), num_keys=2)
+    return g[:, :k], d[:, :k]
+
+
 class BeamResult(NamedTuple):
     frontier_ids: jax.Array  # [Q, B] slab ids, EMPTY_ID = empty slot
     frontier_dists: jax.Array  # [Q, B] f32, +inf = empty
@@ -186,6 +214,12 @@ def batched_beam_search(
     # expansion gather count by R. Memory: m*R*w*4 bytes; attach only where
     # HBM allows (SlabGraph.attach_inline).
     nbr_norms: Optional[jax.Array] = None,  # [m, R] matching ||x||^2 values
+    nbr_scale: Optional[jax.Array] = None,  # [m] per-node dequant scales:
+    # when set, nbr_vecs holds int8-QUANTIZED copies of a float store
+    # (x ~= scale[node] * x_hat) and candidate distances are computed as
+    # norms - 2*scale*(q . x_hat) — approximate by the int8 rounding; callers
+    # restore exactness with an exact_rerank of the final candidates. This is
+    # what fits 1M-point inline blocks in HBM (6.1 GB vs fp32's 24.5).
 ) -> BeamResult:
     q, _ = queries.shape
     m, r = nbrs.shape
@@ -288,15 +322,26 @@ def batched_beam_search(
             # inline path: one contiguous [R, w] block per expanded node
             blk = nbr_vecs[cur_safe][..., :r, :]  # [Q, E, r, w]
             w = blk.shape[-1]
-            # bf16 inline stores upcast AFTER the gather: the matmul stays
-            # fp32 (only x's storage rounding remains; norms are fp32);
-            # int8/uint8 inline blocks stay integer — gathered_distances
-            # runs them as exact bf16 MXU passes
             vecs = blk.reshape(q, -1, w)
-            if vecs.dtype == jnp.bfloat16:
-                vecs = vecs.astype(jnp.float32)
             nrm = nbr_norms[cur_safe][..., :r].reshape(q, -1)
-            cand_dist = gathered_distances(queries[:, :w], vecs, nrm, metric)
+            if nbr_scale is not None:
+                # int8-QUANTIZED inline over a float store: x ~= s * x_hat,
+                # d = ||x||^2 - 2*s*(q . x_hat); the bf16 dot is exact on
+                # the int8 values, so the only error is the quantization
+                s = jnp.repeat(nbr_scale[cur_safe], r, axis=1)  # [Q, E*r]
+                ip = -gathered_distances(
+                    queries[:, :w], vecs, jnp.zeros_like(nrm), "mips")
+                cand_dist = (nrm - 2.0 * s * ip if metric == "l2"
+                             else -s * ip)
+            else:
+                # bf16 inline stores upcast AFTER the gather: the matmul
+                # stays fp32 (only x's storage rounding remains; norms are
+                # fp32); native int8/uint8 inline blocks stay integer —
+                # gathered_distances runs them as exact bf16 MXU passes
+                if vecs.dtype == jnp.bfloat16:
+                    vecs = vecs.astype(jnp.float32)
+                cand_dist = gathered_distances(
+                    queries[:, :w], vecs, nrm, metric)
         else:
             if identity_map:
                 gid_safe = cand_safe

@@ -117,6 +117,172 @@ def _sharded_scan_impl(data_sh, norms_sh, queries, starts, ends, row_offset, k, 
     )(data_sh, norms_sh, queries, starts, ends, row_offset)
 
 
+class ShardedGraphRow:
+    """One B-WST/slab row bucket-sharded across a device Mesh (SURVEY §5h:
+    for indices larger than one HBM, shard tree buckets across devices and
+    route each query to the owning device).
+
+    Bucket graphs are self-contained (a bucket's adjacency only references
+    ids inside the bucket), so a shard = a set of whole buckets with its own
+    point rows, norms, and shard-local adjacency — searches need ZERO
+    cross-device traffic; the only collective is the implicit result gather
+    when the host reads the sharded output. Built by `shard_graph_row`."""
+
+    def __init__(self, mesh, points_sh, norms_sh, nbrs_sh, local_to_global,
+                 bucket_device, bucket_local_start, ms, beam_unused=None):
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        self.points_sh = points_sh  # [D*ms, d_pad] sharded on axis
+        self.norms_sh = norms_sh  # [D*ms]
+        self.nbrs_sh = nbrs_sh  # [D*ms, R] shard-local ids
+        self.local_to_global = local_to_global  # [D, ms] host: -> global ids
+        self.bucket_device = bucket_device  # [nb] host
+        self.bucket_local_start = bucket_local_start  # [nb] host
+        self.ms = ms  # slab rows per device (padded equal)
+
+    @property
+    def n_devices(self) -> int:
+        return int(np.prod(self.mesh.devices.shape))
+
+
+def shard_graph_row(ps, graph, mesh: Mesh) -> ShardedGraphRow:
+    """Bucket-shard a SlabGraph row: greedy size-balanced assignment of whole
+    buckets to devices; per-shard contiguous point/adjacency layout with
+    monotone id remapping (preserves (dist, id) tie order inside a bucket,
+    so sharded results are bit-identical to single-device ones)."""
+    axis = mesh.axis_names[0]
+    D = int(np.prod(mesh.devices.shape))
+    off = np.asarray(graph.bucket_slab_offsets, dtype=np.int64)
+    nb = len(off) - 1
+    sizes = np.diff(off)
+    # greedy bin-pack: biggest bucket to least-loaded device
+    load = np.zeros(D, dtype=np.int64)
+    bucket_device = np.zeros(nb, dtype=np.int64)
+    for b in np.argsort(-sizes, kind="stable"):
+        d = int(np.argmin(load))
+        bucket_device[b] = d
+        load[d] += sizes[b]
+    ms = int(-(-load.max() // 8) * 8)
+
+    d_pad = ps.data.shape[1]
+    R = graph.R
+    pts = np.zeros((D, ms, d_pad), dtype=np.asarray(ps.data[:1]).dtype)
+    nrm = np.zeros((D, ms), dtype=np.float32)
+    nbrs = np.full((D, ms, R), -1, dtype=np.int32)
+    l2g = np.full((D, ms), -1, dtype=np.int64)
+    bucket_local_start = np.zeros(nb, dtype=np.int64)
+
+    data_host = np.asarray(ps.data)
+    norms_host = np.asarray(ps.norms_sq)
+    s2g = graph.slab_to_global_host
+    fill = np.zeros(D, dtype=np.int64)
+    for b in range(nb):
+        d = int(bucket_device[b])
+        lo, hi = int(off[b]), int(off[b + 1])
+        sz = hi - lo
+        start = int(fill[d])
+        bucket_local_start[b] = start
+        gids = s2g[lo:hi]
+        pts[d, start:start + sz] = data_host[gids]
+        nrm[d, start:start + sz] = norms_host[gids]
+        l2g[d, start:start + sz] = gids
+        rows = graph.nbrs_host[lo:hi]
+        # slab ids -> shard-local: monotone shift inside the bucket
+        nbrs[d, start:start + sz] = np.where(
+            rows >= 0, rows - lo + start, -1)
+        fill[d] += sz
+
+    shard = NamedSharding(mesh, P(axis))
+    return ShardedGraphRow(
+        mesh,
+        jax.device_put(jnp.asarray(pts.reshape(D * ms, d_pad)), shard),
+        jax.device_put(jnp.asarray(nrm.reshape(D * ms)), shard),
+        jax.device_put(jnp.asarray(nbrs.reshape(D * ms, R)), shard),
+        l2g, bucket_device, bucket_local_start, ms,
+    )
+
+
+def _shard_map(fn, mesh, in_specs, out_specs):
+    try:  # jax >= 0.8 moved shard_map out of experimental
+        from jax import shard_map
+
+        return shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+        return shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_rep=False)
+
+
+def sharded_bucket_search(
+    row: ShardedGraphRow,
+    queries_padded: np.ndarray,  # [Q, d_pad] host f32
+    buckets: np.ndarray,  # [Q] bucket id per query
+    *, beam: int, k: int, cut=1.35, metric: str, norm_col=None,
+    qd: int = 0,  # per-device query batch (0 = derive from routing)
+):
+    """Route each query to its bucket's owning device and search there.
+
+    Returns (global_ids [Q, beam] int64 EMPTY_ID-padded, dists [Q, beam]).
+    Identical results to searching the unsharded row (pinned by
+    tests/test_sharded.py)."""
+    D = row.n_devices
+    Q = len(buckets)
+    dev = row.bucket_device[buckets]  # [Q]
+    counts = np.bincount(dev, minlength=D)
+    if not qd:
+        qd = max(8, int(-(-counts.max() // 8) * 8))
+    d_pad = queries_padded.shape[1]
+    qs = np.zeros((D, qd, d_pad), dtype=np.float32)
+    st = np.zeros((D, qd), dtype=np.int32)
+    act = np.zeros((D, qd), dtype=bool)
+    slot = np.zeros((D,), dtype=np.int64)
+    placing = np.zeros((Q, 2), dtype=np.int64)  # (device, slot) per query
+    for i in range(Q):
+        d = int(dev[i])
+        j = int(slot[d])
+        qs[d, j] = queries_padded[i]
+        st[d, j] = row.bucket_local_start[buckets[i]]
+        act[d, j] = True
+        placing[i] = (d, j)
+        slot[d] += 1
+
+    axis = row.axis
+    shard = NamedSharding(row.mesh, P(axis))
+    qs_d = jax.device_put(jnp.asarray(qs.reshape(D * qd, d_pad)), shard)
+    st_d = jax.device_put(jnp.asarray(st.reshape(D * qd)), shard)
+    act_d = jax.device_put(jnp.asarray(act.reshape(D * qd)), shard)
+
+    def local(pts, nrm, nbrs, q, s, a):
+        res = batched_beam_search(
+            pts, nrm, nbrs, jnp.arange(pts.shape[0], dtype=jnp.int32),
+            q, s, beam=beam, k=k, cut=jnp.float32(cut),
+            limit=jnp.int32(pts.shape[0]), metric=metric, active_in=a,
+            norm_col=norm_col, identity_map=True,
+        )
+        return res.frontier_ids, res.frontier_dists
+
+    f_ids, f_d = _shard_map(
+        local, row.mesh,
+        (P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        (P(axis), P(axis)),
+    )(row.points_sh, row.norms_sh, row.nbrs_sh, qs_d, st_d, act_d)
+    f_ids = np.asarray(f_ids).reshape(D, qd, beam)
+    f_d = np.asarray(f_d).reshape(D, qd, beam)
+
+    out_i = np.full((Q, beam), int(EMPTY_ID), dtype=np.int64)
+    out_d = np.full((Q, beam), np.inf, dtype=np.float32)
+    for i in range(Q):
+        d, j = placing[i]
+        ids_loc = f_ids[d, j]
+        valid = ids_loc != EMPTY_ID
+        safe = np.clip(ids_loc, 0, row.ms - 1)
+        out_i[i] = np.where(valid, row.local_to_global[d][safe], EMPTY_ID)
+        out_d[i] = f_d[d, j]
+    return out_i, out_d
+
+
 def sharded_scan_bruteforce(
     mesh: Mesh, data, norms_sq, queries, starts, ends, k: int, metric: str
 ):

@@ -263,3 +263,66 @@ def test_inline_bf16_blocks_high_recall(rng):
     bi = np.asarray(b.frontier_ids)[:, :10]
     overlap = np.mean([len(set(ai[i]) & set(bi[i])) for i in range(q)])
     assert overlap >= 9.0, overlap
+
+
+def test_inline_int8_quantized_with_rerank(rng):
+    """int8-QUANTIZED inline blocks (float store, per-node scales, the 1M+
+    HBM regime) + exact_rerank: the reranked top-10 must closely match the
+    exact search's top-10, and the rerank distances must be exact fp32."""
+    import jax.numpy as jnp
+
+    from rangefilteredann_tpu.models.vamana import SlabGraph
+    from rangefilteredann_tpu.ops.beam_search import exact_rerank
+    from rangefilteredann_tpu.ops.topk import EMPTY_ID
+    from rangefilteredann_tpu.utils.data import make_pointset, pad_queries
+
+    n, d, r, q, beam = 800, 24, 8, 16, 24
+    centers = rng.normal(size=(20, d)).astype(np.float32)
+    points = (centers[rng.integers(0, 20, n)]
+              + .2 * rng.normal(size=(n, d))).astype(np.float32)
+    ps = make_pointset(points, "l2")
+    nbrs = random_graph(rng, n, r)
+    g = SlabGraph(jnp.asarray(nbrs), jnp.arange(n, dtype=jnp.int32), nbrs,
+                  (nbrs >= 0).sum(1).astype(np.int32), np.array([0, n]),
+                  np.arange(n), True)
+    g.attach_inline(ps, jnp.int8)
+    assert g.nbr_vecs.dtype == jnp.int8 and g.nbr_scale is not None
+    # quantization quality: dequantized blocks within scale/2 per dim
+    deq = (np.asarray(g.nbr_vecs).astype(np.float32)
+           * np.asarray(g.nbr_scale)[:, None, None])
+    gid = np.clip(nbrs, 0, n - 1)
+    src = np.asarray(ps.data[:, :deq.shape[-1]]).copy()
+    src[:, ps.norm_col] = 0.0  # attach_inline zeroes the fused-norm column
+    want = src[gid]
+    err = np.abs(deq - want).max()
+    assert err <= np.asarray(g.nbr_scale).max() * 0.51, err
+
+    queries = jnp.asarray(pad_queries(
+        rng.normal(size=(q, d)).astype(np.float32), d, ps.d_pad))
+    starts = jnp.zeros((q,), jnp.int32)
+    kw = dict(beam=beam, k=0, cut=jnp.float32(1.35), limit=jnp.int32(n),
+              metric="l2", norm_col=ps.norm_col, identity_map=True)
+    a = batched_beam_search(ps.data, ps.norms_sq, g.nbrs_dev,
+                            g.slab_to_global_dev, queries, starts, **kw)
+    b = batched_beam_search(ps.data, ps.norms_sq, g.nbrs_dev,
+                            g.slab_to_global_dev, queries, starts,
+                            nbr_vecs=g.nbr_vecs, nbr_norms=g.nbr_norms,
+                            nbr_scale=g.nbr_scale, **kw)
+    # rerank the quantized frontier's top-18 exactly, keep 10
+    rb_i, rb_d = exact_rerank(ps.data, ps.norms_sq, queries,
+                              b.frontier_ids[:, :18], 10, "l2",
+                              norm_col=ps.norm_col)
+    ai = np.asarray(a.frontier_ids)[:, :10]
+    bi = np.asarray(rb_i)
+    overlap = np.mean([len(set(ai[i]) & set(bi[i])) for i in range(q)])
+    assert overlap >= 9.0, overlap
+    # rerank dists are exact: recompute in fp64 for the returned ids
+    bi_np, bd_np = np.asarray(rb_i), np.asarray(rb_d)
+    x64 = points.astype(np.float64)
+    q64 = np.asarray(queries)[:, :d].astype(np.float64)
+    for i in range(q):
+        for j in range(10):
+            if bi_np[i, j] == EMPTY_ID:
+                continue
+            true = (x64[bi_np[i, j]] ** 2).sum() - 2 * q64[i] @ x64[bi_np[i, j]]
+            assert abs(true - bd_np[i, j]) < 1e-2, (true, bd_np[i, j])

@@ -105,3 +105,55 @@ def test_index_shard_queries_matches_unsharded(setup8):
         queries, filters, nq, "optimized_postfilter", qp
     )
     np.testing.assert_array_equal(got[0], want[0])
+
+
+def test_bucket_sharded_graph_row_matches_single_device():
+    """GRAPH index-sharding (round-1 verdict item 6): a B-WST row's buckets
+    sharded across 8 devices, each query searched on its bucket's owning
+    device, must return bit-identical (global id, dist) results to the same
+    searches on the unsharded row."""
+    import jax.numpy as jnp
+
+    from rangefilteredann_tpu import BuildParams
+    from rangefilteredann_tpu.models.vamana import build_vamana_graph
+    from rangefilteredann_tpu.ops.topk import EMPTY_ID
+    from rangefilteredann_tpu.parallel.sharded import (
+        make_mesh, shard_graph_row, sharded_bucket_search)
+    from rangefilteredann_tpu.utils.data import make_pointset, pad_queries
+
+    rng = np.random.default_rng(9)
+    n, d, nq, beam = 2400, 16, 64, 12
+    points = rng.normal(size=(n, d)).astype(np.float32)
+    ps = make_pointset(points, "l2")
+    # a 12-bucket row (uneven sizes) — more buckets than devices
+    cuts = np.sort(rng.choice(np.arange(100, n - 100), 11, replace=False))
+    offsets = np.concatenate([[0], cuts, [n]]).astype(np.int64)
+    s2g = np.arange(n, dtype=np.int64)
+    g = build_vamana_graph(ps, s2g, offsets, BuildParams(R=8, L=16, alpha=1.2),
+                           seed=4)
+
+    queries = rng.normal(size=(nq, d)).astype(np.float32)
+    qpad = pad_queries(queries, d, ps.d_pad)
+    buckets = rng.integers(0, len(offsets) - 1, size=nq)
+
+    # unsharded reference: search each query's bucket on the full slab
+    starts = offsets[buckets].astype(np.int32)
+    res = batched_beam_search(
+        ps.data, ps.norms_sq, g.nbrs_dev, g.slab_to_global_dev,
+        jnp.asarray(qpad), jnp.asarray(starts),
+        beam=beam, k=0, cut=jnp.float32(1.35), limit=jnp.int32(n),
+        metric="l2", norm_col=ps.norm_col, identity_map=True,
+    )
+    want_i = np.asarray(res.frontier_ids).astype(np.int64)
+    want_d = np.asarray(res.frontier_dists)
+
+    mesh = make_mesh(8)
+    row = shard_graph_row(ps, g, mesh)
+    # every bucket's rows landed on exactly one device with its points
+    got_i, got_d = sharded_bucket_search(
+        row, qpad, buckets, beam=beam, k=0, metric="l2",
+        norm_col=ps.norm_col)
+    np.testing.assert_array_equal(got_i, want_i)
+    w = np.where(want_i == int(EMPTY_ID), 0.0, want_d)
+    gd = np.where(got_i == int(EMPTY_ID), 0.0, got_d)
+    np.testing.assert_allclose(gd, w, rtol=1e-5, atol=1e-4)
