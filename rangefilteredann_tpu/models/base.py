@@ -245,6 +245,44 @@ def maybe_attach_inline(graph, ps) -> bool:
     return False
 
 
+def cache_fingerprint(labels_sorted: np.ndarray,
+                      pts_sorted: np.ndarray) -> np.ndarray:
+    """Content digest stored inside graph cache files. The reference keys
+    caches by params only (vamana_{L}_{R}_{alpha}_{min}_{max}_{n}.bin,
+    postfilter_vamana.h:126-132) — two datasets with the same shape and
+    label range silently share a key. The digest samples the label-sorted
+    labels and points so a mismatched cache is REBUILT instead of silently
+    returning garbage neighbors. Legacy caches without a digest still load."""
+    import hashlib
+
+    h = hashlib.sha1()
+    step = max(1, len(labels_sorted) // 1024)
+    h.update(np.ascontiguousarray(
+        labels_sorted[::step].astype(np.float64)).tobytes())
+    pstep = max(1, len(pts_sorted) // 256)
+    h.update(np.ascontiguousarray(
+        np.asarray(pts_sorted[::pstep, : min(8, pts_sorted.shape[1])],
+                   dtype=np.float32)).tobytes())
+    return np.frombuffer(h.digest()[:8], dtype=np.int64).copy()
+
+
+def load_cached_nbrs(fname: str, fingerprint: np.ndarray):
+    """Load a cached adjacency, verifying the content digest when present.
+    Returns the nbrs array, or None when the cache belongs to different
+    data (caller rebuilds)."""
+    import warnings
+
+    with np.load(fname) as z:
+        nbrs = z["nbrs"]
+        if "fingerprint" in z and not np.array_equal(
+                z["fingerprint"], fingerprint):
+            warnings.warn(
+                f"graph cache {fname} was built for different data "
+                "(fingerprint mismatch) — rebuilding", stacklevel=2)
+            return None
+    return nbrs
+
+
 def whole_dataset_cache(cache_path, bp, label_lo, label_hi, n):
     """Canonical cache filename for THE whole-dataset graph: a single Vamana
     over the full label-sorted dataset. The flat postfilter index, B-WST

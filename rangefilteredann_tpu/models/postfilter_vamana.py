@@ -274,6 +274,9 @@ class PostfilterVamanaIndex:
         n = self._ps.n
         self._bp = bp
         self._mesh = None
+        from .base import cache_fingerprint
+
+        self._fp = cache_fingerprint(self._labels_sorted, pts_sorted)
         self._graph = self._load_or_build(bp, n, seed)
         maybe_attach_inline(self._graph, self._ps)
 
@@ -288,26 +291,27 @@ class PostfilterVamanaIndex:
         )
 
     def _load_or_build(self, bp: BuildParams, n: int, seed: int) -> SlabGraph:
+        from .base import load_cached_nbrs
+
         s2g = np.arange(n, dtype=np.int64)
         offsets = np.array([0, n], dtype=np.int64)
         fname = self._cache_file(bp, n)
         if fname and os.path.exists(fname):
-            with np.load(fname) as z:
-                nbrs = z["nbrs"]
-            g = SlabGraph(
-                nbrs_dev=jnp.asarray(nbrs),
-                slab_to_global_dev=jnp.asarray(s2g.astype(np.int32)),
-                nbrs_host=nbrs,
-                degrees=(nbrs >= 0).sum(axis=1).astype(np.int32),
-                bucket_slab_offsets=offsets,
-                slab_to_global_host=s2g,
-                identity_s2g=True,
-            )
-            return g
+            nbrs = load_cached_nbrs(fname, self._fp)
+            if nbrs is not None:
+                return SlabGraph(
+                    nbrs_dev=jnp.asarray(nbrs),
+                    slab_to_global_dev=jnp.asarray(s2g.astype(np.int32)),
+                    nbrs_host=nbrs,
+                    degrees=(nbrs >= 0).sum(axis=1).astype(np.int32),
+                    bucket_slab_offsets=offsets,
+                    slab_to_global_host=s2g,
+                    identity_s2g=True,
+                )
         g = build_vamana_graph(self._ps, s2g, offsets, bp, seed=seed)
         if fname:
             os.makedirs(os.path.dirname(fname), exist_ok=True)
-            np.savez_compressed(fname, nbrs=g.nbrs_host)
+            np.savez_compressed(fname, nbrs=g.nbrs_host, fingerprint=self._fp)
         return g
 
     def shard(self, mesh) -> "PostfilterVamanaIndex":

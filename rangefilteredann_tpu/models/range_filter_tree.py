@@ -121,6 +121,9 @@ class RangeFilterTreeIndex:
         n = self._ps.n
         self._offsets = build_offset_rows(n, self._cutoff, self._split)
         self._mesh = None
+        from .base import cache_fingerprint
+
+        self._fp = cache_fingerprint(self._labels_sorted, pts_sorted)
         self._graphs: List[Optional[SlabGraph]] = [None] * len(self._offsets)
         if leaf == "vamana":
             s2g = np.arange(n, dtype=np.int64)
@@ -152,23 +155,26 @@ class RangeFilterTreeIndex:
                     and os.path.exists(canon)):
                 load_from = canon
         if load_from and os.path.exists(load_from):
-            with np.load(load_from) as z:
-                nbrs = z["nbrs"]
-            return SlabGraph(
-                nbrs_dev=jnp.asarray(nbrs),
-                slab_to_global_dev=jnp.asarray(s2g.astype(np.int32)),
-                nbrs_host=nbrs,
-                degrees=(nbrs >= 0).sum(axis=1).astype(np.int32),
-                bucket_slab_offsets=row_off,
-                slab_to_global_host=s2g,
-                identity_s2g=True,  # tree rows partition the sorted ids
-            )
+            from .base import load_cached_nbrs
+
+            nbrs = load_cached_nbrs(load_from, self._fp)
+            if nbrs is not None:
+                return SlabGraph(
+                    nbrs_dev=jnp.asarray(nbrs),
+                    slab_to_global_dev=jnp.asarray(s2g.astype(np.int32)),
+                    nbrs_host=nbrs,
+                    degrees=(nbrs >= 0).sum(axis=1).astype(np.int32),
+                    bucket_slab_offsets=row_off,
+                    slab_to_global_host=s2g,
+                    identity_s2g=True,  # tree rows partition the sorted ids
+                )
         g = build_vamana_graph(self._ps, s2g, row_off, self._bp, seed=seed + r)
         if fname:
             os.makedirs(os.path.dirname(fname), exist_ok=True)
-            np.savez_compressed(fname, nbrs=g.nbrs_host)
+            np.savez_compressed(fname, nbrs=g.nbrs_host, fingerprint=self._fp)
             if canon and not os.path.exists(canon):
-                np.savez_compressed(canon, nbrs=g.nbrs_host)
+                np.savez_compressed(canon, nbrs=g.nbrs_host,
+                                    fingerprint=self._fp)
         return g
 
     def shard(self, mesh) -> "RangeFilterTreeIndex":

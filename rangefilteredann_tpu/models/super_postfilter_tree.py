@@ -99,8 +99,10 @@ class SuperOptimizedPostfilterTree:
         # slightly, and each distinct slab size costs fresh 20-40s XLA
         # compiles for every build-step and query-beam shape — padding all
         # rows to one size compiles once (round-1 verdict item 8).
+        from .base import cache_fingerprint
         from .vamana import max_step_insert
 
+        self._fp = cache_fingerprint(self._labels_sorted, pts_sorted)
         layouts = [self._row_slab(n, bs, sh, nb)
                    for (bs, sh, nb) in self._rows]
         pad_rows = insert_pad = 0
@@ -154,9 +156,12 @@ class SuperOptimizedPostfilterTree:
                 load_from = canon
         m_real = int(slab_offsets[-1])
         m_pad = max(m_real, pad_rows)
+        nbrs = None
         if load_from and os.path.exists(load_from):
-            with np.load(load_from) as z:
-                nbrs = z["nbrs"]
+            from .base import load_cached_nbrs
+
+            nbrs = load_cached_nbrs(load_from, self._fp)
+        if nbrs is not None:
             # caches store the REAL rows (padding-agnostic); pad on load so
             # all rows share one device shape
             if nbrs.shape[0] < m_pad:
@@ -182,9 +187,11 @@ class SuperOptimizedPostfilterTree:
                                insert_pad=insert_pad)
         if fname:
             os.makedirs(os.path.dirname(fname), exist_ok=True)
-            np.savez_compressed(fname, nbrs=g.nbrs_host[:m_real])
+            np.savez_compressed(fname, nbrs=g.nbrs_host[:m_real],
+                                fingerprint=self._fp)
             if canon and not os.path.exists(canon):
-                np.savez_compressed(canon, nbrs=g.nbrs_host[:m_real])
+                np.savez_compressed(canon, nbrs=g.nbrs_host[:m_real],
+                                    fingerprint=self._fp)
         return g
 
     def shard(self, mesh) -> "SuperOptimizedPostfilterTree":

@@ -170,6 +170,33 @@ def test_row0_shares_whole_dataset_cache(rng, tmp_path):
     assert np.array_equal(tree._graphs[0].nbrs_host, flat._graph.nbrs_host)
 
 
+def test_cache_fingerprint_mismatch_rebuilds(rng, tmp_path):
+    """Caches are keyed by params + label range only (reference parity), so
+    different data can hit the same key — the stored content fingerprint
+    must force a rebuild instead of silently returning a mismatched graph
+    (this exact failure produced recall 0.01 in a 1M protocol run)."""
+    import pytest as _pytest
+
+    from rangefilteredann_tpu.models.postfilter_vamana import (
+        PostfilterVamanaIndex)
+
+    n, d = 500, 12
+    pts = rng.normal(size=(n, d)).astype(np.float32)
+    labels = rng.uniform(size=n)
+    bp = BuildParams(R=8, L=16, alpha=1.2, cache_path=str(tmp_path) + "/")
+    a = PostfilterVamanaIndex(pts, labels, bp)
+    # same label RANGE endpoints (same cache key), different pairing
+    perm = rng.permutation(n)
+    labels2 = labels[perm]
+    with _pytest.warns(UserWarning, match="fingerprint"):
+        PostfilterVamanaIndex(pts, labels2, bp)
+    # original data again: the overwritten cache mismatches, rebuild
+    # reproduces the original graph (same inputs, same seed)
+    with _pytest.warns(UserWarning, match="fingerprint"):
+        c = PostfilterVamanaIndex(pts, labels, bp)
+    assert np.array_equal(a._graph.nbrs_host, c._graph.nbrs_host)
+
+
 def test_super_row0_shares_whole_dataset_cache(rng, tmp_path):
     """Super-tree analogue: row 0 must load the flat index's whole-dataset
     cache when only that exists (advisor round 1: the load path read the

@@ -46,16 +46,21 @@ def log(*a):
 
 
 def make_data(n, d, seed, normalize=False):
+    """EXACT rng consumption order of tools/bench_1m.py (centers, point
+    assignment, point noise, LABELS, then queries) — the cached 1M graphs
+    are keyed by params only, so a different label draw order silently
+    mismatches them (this burned phase A/B once; caches now also carry
+    content fingerprints as a backstop)."""
     rng = np.random.default_rng(seed)
     centers = rng.normal(size=(1000, d)).astype(np.float32)
     pts = (centers[rng.integers(0, 1000, n)]
            + 0.35 * rng.normal(size=(n, d))).astype(np.float32)
+    labels = rng.uniform(size=n)
     qs = (centers[rng.integers(0, 1000, NQ)]
           + 0.35 * rng.normal(size=(NQ, d))).astype(np.float32)
     if normalize:
         pts /= np.linalg.norm(pts, axis=1, keepdims=True)
         qs /= np.linalg.norm(qs, axis=1, keepdims=True)
-    labels = rng.uniform(size=n)
     return rng, pts, labels, qs
 
 
