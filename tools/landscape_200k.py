@@ -92,7 +92,7 @@ def main():
                      & set(ids[q][d[q] < fmax].astype(np.int64).tolist()))
                  / len(gt_sets[q])) if gt_sets[q] else 1.0
                 for q in range(NQ)])  # empty window -> vacuously correct
-            rows.append(f"pow{-i},{name},{rec:.4f},{best/NQ:.8f},"
+            rows.append(f"2pow{-i},{name},{rec:.4f},{best/NQ:.8f},"
                         f"{NQ/best:.1f},1")
             log(f"2^-{i} {name}: recall={rec:.4f} qps={NQ/best:.0f}")
 

@@ -92,7 +92,7 @@ def landscape(tag, out_csv, pre, others, rng, queries, max_pow=16,
                          & set(ids[q][d[q] < FMAX].astype(np.int64).tolist()))
                      / len(gt_sets[q])) if gt_sets[q] else 1.0
                     for q in range(NQ)])
-                rows.append(f"pow{-i},{name},{rec:.4f},{best/NQ:.8f},"
+                rows.append(f"2pow{-i},{name},{rec:.4f},{best/NQ:.8f},"
                             f"{NQ/best:.1f},1")
                 log(f"{tag} 2^-{i} {name}: recall={rec:.4f} qps={NQ/best:.0f}")
             except Exception:
