@@ -389,7 +389,24 @@ def build_vamana_graph(
         sum(s[t][1] - s[t][0] for s in schedules if t < len(s))
         for t in range(n_steps)
     )
-    mp = next_pow2(max(mb_max, insert_pad, 64))
+    # HBM guard: each insert step's beam search materializes a
+    # [mp, expand*R, d_pad] fp32 candidate gather — at 1M-scale params
+    # (R=64, L=200 -> expand 8) an uncapped mp of 32768 is a 17 GB tensor
+    # that fails AOT compile outright. Cap the padded batch so that gather
+    # stays ~<6 GB; oversized schedule steps run as several sub-batches
+    # (the later halves see the earlier halves' edges — strictly more graph
+    # than the reference's single batch, never less).
+    exp = build_expand(L)
+    row_bytes = exp * R * int(ps.d_pad) * 4
+    auto_cap = max(1024, int(6e9 // max(row_bytes, 1)))
+
+    def pow2_capped(x):
+        p = next_pow2(max(min(x, auto_cap), 64))
+        return p // 2 if p > auto_cap else p  # pow2 rounding must not overshoot
+
+    mp = pow2_capped(mb_max)
+    if insert_pad:
+        mp = max(mp, pow2_capped(insert_pad))
     chunk = min(PRUNE_CHUNK, mp)
     rev_cap = next_pow2(2 * R)  # reverse-edge prune candidate width
 
@@ -404,26 +421,29 @@ def build_vamana_graph(
                 lo, hi = schedules[b][t]
                 ins_list.append(perms[b][lo:hi])
                 start_list.append(np.full(hi - lo, bucket_starts[b], dtype=np.int32))
-        inserts = np.concatenate(ins_list).astype(np.int32)
-        starts = np.concatenate(start_list)
-        mb = len(inserts)
-        ins_p = np.full((mp,), m_slab, dtype=np.int32)  # pad = out-of-range slab
-        st_p = np.zeros((mp,), dtype=np.int32)
-        act_p = np.zeros((mp,), dtype=bool)
-        ins_p[:mb], st_p[:mb], act_p[:mb] = inserts, starts, True
+        inserts_all = np.concatenate(ins_list).astype(np.int32)
+        starts_all = np.concatenate(start_list)
+        for sub_lo in range(0, len(inserts_all), mp):
+            inserts = inserts_all[sub_lo:sub_lo + mp]
+            starts = starts_all[sub_lo:sub_lo + mp]
+            mb = len(inserts)
+            ins_p = np.full((mp,), m_slab, dtype=np.int32)  # pad = oob slab
+            st_p = np.zeros((mp,), dtype=np.int32)
+            act_p = np.zeros((mp,), dtype=bool)
+            ins_p[:mb], st_p[:mb], act_p[:mb] = inserts, starts, True
 
-        nbrs_dev, degrees_dev = _insert_step(
-            nbrs_dev, degrees_dev,
-            ps.data, ps.norms_sq, s2g_dev,
-            jnp.asarray(ins_p), jnp.asarray(st_p), jnp.asarray(act_p),
-            alpha_dev,
-            R=R, L=L, metric=metric, v_cap=v_cap, chunk=chunk,
-            rev_cap=rev_cap,
-            norm_col=ps.norm_col if ps.norm_col >= 0 else None,
-            identity=identity, expand=build_expand(L),
-        )
+            nbrs_dev, degrees_dev = _insert_step(
+                nbrs_dev, degrees_dev,
+                ps.data, ps.norms_sq, s2g_dev,
+                jnp.asarray(ins_p), jnp.asarray(st_p), jnp.asarray(act_p),
+                alpha_dev,
+                R=R, L=L, metric=metric, v_cap=v_cap, chunk=chunk,
+                rev_cap=rev_cap,
+                norm_col=ps.norm_col if ps.norm_col >= 0 else None,
+                identity=identity, expand=exp,
+            )
         if verbose:
-            print(f"  vamana step {t + 1}/{n_steps}: inserted {mb}")
+            print(f"  vamana step {t + 1}/{n_steps}: inserted {len(inserts_all)}")
 
     g = SlabGraph(
         nbrs_dev=nbrs_dev,
