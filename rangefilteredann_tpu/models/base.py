@@ -245,6 +245,40 @@ def maybe_attach_inline(graph, ps) -> bool:
     return False
 
 
+class RowResidency:
+    """LRU device residency for a list of SlabGraph rows under a byte budget.
+
+    Trees whose total adjacency exceeds HBM (a 10M-point B-WST is ~21 GB of
+    int32 across its rows) keep rows host-side and upload on route: queries
+    at one filter fraction touch only 1-2 rows, so the working set is small.
+    budget=None (the default) keeps every row resident — today's behavior
+    for datasets that fit."""
+
+    def __init__(self, graphs, budget=None):
+        self.graphs = graphs
+        self.budget = budget
+        self.order = []
+        if budget is not None:
+            for g in graphs:
+                if g is not None:
+                    g.evict_device()
+
+    def touch(self, r: int):
+        g = self.graphs[r]
+        if self.budget is None or g is None:
+            return g
+        g.ensure_device()
+        if r in self.order:
+            self.order.remove(r)
+        self.order.insert(0, r)
+        total = sum(self.graphs[i].device_bytes() for i in self.order)
+        while total > self.budget and len(self.order) > 1:
+            ev = self.order.pop()
+            total -= self.graphs[ev].device_bytes()
+            self.graphs[ev].evict_device()
+        return g
+
+
 def cache_fingerprint(labels_sorted: np.ndarray,
                       pts_sorted: np.ndarray) -> np.ndarray:
     """Content digest stored inside graph cache files. The reference keys

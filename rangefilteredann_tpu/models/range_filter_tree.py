@@ -107,6 +107,9 @@ class RangeFilterTreeIndex:
         metric: str = "Euclidian",
         leaf: str = "vamana",
         seed: int = 0,
+        device_rows_budget: "Optional[int]" = None,  # bytes of row adjacency
+        # kept on device (LRU, rows re-upload on route); None = all resident.
+        # The 10M+ regime: a B-WST's rows total ~2x n*R*4 bytes.
     ):
         bp = build_params or BuildParams()
         points = np.asarray(points)
@@ -129,6 +132,9 @@ class RangeFilterTreeIndex:
             s2g = np.arange(n, dtype=np.int64)
             for r, row_off in enumerate(self._offsets):
                 self._graphs[r] = self._load_or_build_row(r, row_off, s2g, seed)
+        from .base import RowResidency
+
+        self._res = RowResidency(self._graphs, device_rows_budget)
 
     # ------------------------------------------------------------------ build
     def _row_cache_file(self, r: int) -> Optional[str]:
@@ -312,7 +318,7 @@ class RangeFilterTreeIndex:
         # routinely touches several rows per batch
         launches = []
         for r in np.unique(rows):
-            g = self._graphs[r]
+            g = self._res.touch(r)
             off = self._offsets[r]
             for beam in np.unique(beams[rows == r]):
                 sel = np.nonzero((rows == r) & (beams == beam))[0]
@@ -357,7 +363,7 @@ class RangeFilterTreeIndex:
             return out_i, out_d
         for r in np.unique(rows):
             sel = np.nonzero(rows == r)[0]
-            g = self._graphs[r]
+            g = self._res.touch(r)
             off = self._offsets[r]
             starts = off[buckets[sel]].astype(np.int32)
             ids, dists = doubling_postfilter(

@@ -74,6 +74,8 @@ class SuperOptimizedPostfilterTree:
         build_params: Optional[BuildParams] = None,
         metric: str = "Euclidian",
         seed: int = 0,
+        device_rows_budget: Optional[int] = None,  # bytes of row adjacency
+        # kept on device (LRU, rows re-upload on route); None = all resident
     ):
         if split_factor <= 1:
             raise ValueError("split_factor must be greater than 1")
@@ -114,6 +116,9 @@ class SuperOptimizedPostfilterTree:
                 r, slab_offsets, s2g, seed,
                 pad_rows=0 if r == 0 else pad_rows,
                 insert_pad=0 if r == 0 else insert_pad))
+        from .base import RowResidency
+
+        self._res = RowResidency(self._graphs, device_rows_budget)
 
     @staticmethod
     def _row_slab(n, bsize, bshift, nb):
@@ -255,7 +260,7 @@ class SuperOptimizedPostfilterTree:
         out_d = np.full((num_queries, k), np.inf, dtype=np.float32)
         for r in np.unique(rows[rows >= 0]):
             sel = np.nonzero(rows == r)[0]
-            g = self._graphs[r]
+            g = self._res.touch(r)
             starts = g.bucket_slab_offsets[buckets[sel]].astype(np.int32)
             ids, dists = doubling_postfilter(
                 self._ps, g, qpad[sel], q_norms[sel], starts,

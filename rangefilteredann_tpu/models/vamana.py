@@ -79,6 +79,34 @@ class SlabGraph:
     def sync_to_device(self):
         self.nbrs_dev = jnp.asarray(self.nbrs_host)
 
+    # --- lazy device residency (for trees whose total adjacency exceeds
+    # HBM — at 10M points a B-WST's 11+ rows are ~21 GB of int32): rows
+    # evict to host and re-upload on route. Managed by the index classes'
+    # LRU (RangeFilterTreeIndex/SuperOptimizedPostfilterTree
+    # device_rows_budget). ---
+    def ensure_device(self) -> "SlabGraph":
+        if self.nbrs_dev is None:
+            self.nbrs_dev = jnp.asarray(self.nbrs_host)
+        if self.slab_to_global_dev is None:
+            self.slab_to_global_dev = jnp.asarray(
+                self.slab_to_global_host.astype(np.int32))
+        return self
+
+    def evict_device(self) -> None:
+        """Drop device copies (host mirrors stay); inline blocks too."""
+        self.nbrs_dev = None
+        self.slab_to_global_dev = None
+        self.nbr_vecs = None
+        self.nbr_norms = None
+        self.nbr_scale = None
+
+    def device_bytes(self) -> int:
+        b = self.m * self.R * 4 + self.m * 4
+        if self.nbr_vecs is not None:
+            b += self.nbr_vecs.size * self.nbr_vecs.dtype.itemsize
+            b += self.nbr_norms.size * 4
+        return b
+
     def inline_bytes(self, ps: PointSet, dtype=jnp.float32) -> int:
         """HBM cost of attach_inline for this slab."""
         w = ps.norm_col if ps.norm_col >= 0 else ps.d_pad

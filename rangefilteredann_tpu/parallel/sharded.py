@@ -40,6 +40,7 @@ def replicate_index(ps, graphs, mesh: Mesh) -> None:
     ps.norms_sq = jax.device_put(ps.norms_sq, repl)
     for g in graphs:
         if g is not None:
+            g.ensure_device()  # lazily-resident rows re-upload first
             g.nbrs_dev = jax.device_put(g.nbrs_dev, repl)
             g.slab_to_global_dev = jax.device_put(g.slab_to_global_dev, repl)
 

@@ -170,6 +170,34 @@ def test_row0_shares_whole_dataset_cache(rng, tmp_path):
     assert np.array_equal(tree._graphs[0].nbrs_host, flat._graph.nbrs_host)
 
 
+def test_device_rows_budget_lru(dataset, gt_fn):
+    """Lazy per-row device residency (the 10M+ regime): a tree whose row
+    budget only fits ~1 row must evict/re-upload on route and return results
+    identical to the fully-resident tree."""
+    points, labels, _ = dataset
+    bp = BuildParams(R=12, L=24, alpha=1.2, cache_path="")
+    full = RangeFilterTreeIndex(points, labels, cutoff=400, split_factor=2,
+                                build_params=bp, seed=1)
+    one_row = int(points.shape[0] * 12 * 4 * 1.5)  # fits ~1 row's adjacency
+    lazy = RangeFilterTreeIndex(points, labels, cutoff=400, split_factor=2,
+                                build_params=bp, seed=1,
+                                device_rows_budget=one_row)
+    assert all(g.nbrs_dev is None for g in lazy._graphs)  # start evicted
+    rng2 = np.random.default_rng(0)
+    nq = 32
+    queries = rng2.normal(size=(nq, points.shape[1])).astype(np.float32)
+    lo = rng2.uniform(0, 0.6, size=nq)
+    filters = np.stack([lo, lo + rng2.uniform(0.01, 0.3, size=nq)], 1)
+    for method in ("fenwick", "optimized_postfilter"):
+        qp = build_query_params(K, 24, final_beam_multiply=2)
+        want = full.batch_search(queries, filters, nq, method, qp)
+        got = lazy.batch_search(queries, filters, nq, method, qp)
+        np.testing.assert_array_equal(got[0], want[0])
+    # the LRU kept within ~budget: not every row resident simultaneously
+    resident = sum(g.nbrs_dev is not None for g in lazy._graphs)
+    assert resident < len(lazy._graphs)
+
+
 def test_cache_fingerprint_mismatch_rebuilds(rng, tmp_path):
     """Caches are keyed by params + label range only (reference parity), so
     different data can hit the same key — the stored content fingerprint

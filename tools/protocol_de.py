@@ -88,8 +88,15 @@ def phase_e_deadline():
         log(f"E: 1M super 2^-{i}: recall={rec:.4f} qps={NQ/dt:.0f}")
 
 
+def phase_10m():
+    import demo_10m
+
+    demo_10m.main()
+
+
 if __name__ == "__main__":
-    for name, fn in (("D", phase_d), ("E", phase_e_deadline)):
+    for name, fn in (("D", phase_d), ("10M", phase_10m),
+                     ("E", phase_e_deadline)):
         try:
             log(f"=== phase {name} (deadline "
                 f"{time.strftime('%H:%M', time.localtime(DEADLINE))}) ===")
