@@ -265,6 +265,41 @@ def test_inline_bf16_blocks_high_recall(rng):
     assert overlap >= 9.0, overlap
 
 
+def test_degree_limit_matches_truncated_graph(rng):
+    """degree_limit semantics pinned on a REAL (distance-sorted) graph:
+    expanding only the first L neighbors of each sorted adjacency row
+    (ref: types.h:118, beamSearch.h neighbor loop) must equal a plain search
+    over the graph truncated to its first L columns."""
+    import jax.numpy as jnp
+
+    from rangefilteredann_tpu import BuildParams
+    from rangefilteredann_tpu.models.vamana import build_vamana_graph
+    from rangefilteredann_tpu.utils.data import make_pointset, pad_queries
+
+    n, d, nq, beam, dl = 1200, 16, 24, 16, 5
+    points = rng.normal(size=(n, d)).astype(np.float32)
+    ps = make_pointset(points, "l2")
+    g = build_vamana_graph(ps, np.arange(n, dtype=np.int64),
+                           np.array([0, n], dtype=np.int64),
+                           BuildParams(R=12, L=24, alpha=1.2), seed=3)
+    # the build distance-sorts adjacency rows (ref: index.h:131-134)
+    queries = jnp.asarray(pad_queries(
+        rng.normal(size=(nq, d)).astype(np.float32), d, ps.d_pad))
+    starts = jnp.zeros(nq, jnp.int32)
+    kw = dict(beam=beam, k=0, cut=jnp.float32(1.35), limit=jnp.int32(n),
+              metric="l2", norm_col=ps.norm_col, identity_map=True)
+    a = batched_beam_search(ps.data, ps.norms_sq, g.nbrs_dev,
+                            g.slab_to_global_dev, queries, starts,
+                            degree_limit=dl, **kw)
+    trunc = jnp.asarray(g.nbrs_host[:, :dl])
+    b = batched_beam_search(ps.data, ps.norms_sq, trunc,
+                            g.slab_to_global_dev, queries, starts, **kw)
+    np.testing.assert_array_equal(np.asarray(a.frontier_ids),
+                                  np.asarray(b.frontier_ids))
+    np.testing.assert_array_equal(np.asarray(a.num_visited),
+                                  np.asarray(b.num_visited))
+
+
 def test_inline_int8_quantized_with_rerank(rng):
     """int8-QUANTIZED inline blocks (float store, per-node scales, the 1M+
     HBM regime) + exact_rerank: the reranked top-10 must closely match the
