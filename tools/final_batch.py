@@ -104,6 +104,50 @@ def phase_12m_uint8():
     del idx
 
 
+def phase_1m_r64_inline():
+    """R=64/L=200 1M graph (cached by protocol phase D) + int8-quantized
+    inline under a raised budget: targets >=0.99 recall AND inline-class
+    QPS at 2^-2 simultaneously (the R=64 inline slab is 8.5 GB; data +
+    adjacency + workspace still fit 16 GB HBM)."""
+    from rangefilteredann_tpu.models import base
+    base.INLINE_BUDGET = int(9e9)
+
+    from protocol_1m import make_data
+    from rangefilteredann_tpu import BuildParams, build_query_params
+    from rangefilteredann_tpu.models.postfilter_vamana import (
+        PostfilterVamanaIndex)
+    from rangefilteredann_tpu.models.prefilter import PrefilterIndex
+
+    N, D, NQ = 1_000_000, 128, 2048
+    rng, points, labels, queries = make_data(N, D, seed=7)
+    bp = BuildParams(R=64, L=200, alpha=1.2, cache_path="bench_cache/")
+    idx = PostfilterVamanaIndex(points, labels, bp)
+    log(f"R64 inline dtype: {idx._graph.inline_dtype} "
+        f"scale={'yes' if idx._graph.nbr_scale is not None else 'no'}")
+    pre = PrefilterIndex(points, labels, metric="Euclidian")
+    frac = 0.25
+    lo = rng.uniform(0, 1 - frac, NQ)
+    filters = np.stack([lo, lo + frac], 1)
+    ids_gt, _ = pre.batch_search(queries, filters, NQ,
+                                 build_query_params(10, 10))
+    gt_sets = [set(r.astype(np.int64).tolist()) for r in ids_gt]
+    for beam, fm in ((40, 2), (80, 2), (80, 4)):
+        qp = build_query_params(10, beam, final_beam_multiply=fm)
+        idx.batch_search(queries, filters, NQ, qp)
+        best = 1e9
+        ids = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            ids, _ = idx.batch_search(queries, filters, NQ, qp)
+            best = min(best, time.perf_counter() - t0)
+        rec = np.mean([len(gt_sets[i] & set(ids[i].astype(np.int64)
+                                            .tolist())) / 10
+                       for i in range(NQ)])
+        log(f"1M R64L200+inline 2^-2 beam={beam} fm={fm}: recall={rec:.4f} "
+            f"qps={NQ/best:.0f}")
+    del idx, pre
+
+
 def phase_bench():
     import bench
 
@@ -111,7 +155,10 @@ def phase_bench():
 
 
 if __name__ == "__main__":
-    for name, fn in (("split", phase_split), ("12m-uint8", phase_12m_uint8),
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__))))
+    for name, fn in (("split", phase_split),
+                     ("1m-r64-inline", phase_1m_r64_inline),
+                     ("12m-uint8", phase_12m_uint8),
                      ("bench", phase_bench)):
         try:
             log(f"=== {name} ===")
