@@ -426,7 +426,11 @@ def build_vamana_graph(
     # than the reference's single batch, never less).
     exp = build_expand(L)
     row_bytes = exp * R * int(ps.d_pad) * 4
-    auto_cap = max(1024, int(6e9 // max(row_bytes, 1)))
+    # scale-aware: big point stores (10M+ fp32 is 5+ GB) leave less HBM for
+    # the build's transient tensors
+    data_bytes = int(ps.data.size) * jnp.dtype(ps.data.dtype).itemsize
+    gather_budget = 6e9 if data_bytes < 2e9 else 3e9
+    auto_cap = max(1024, int(gather_budget // max(row_bytes, 1)))
 
     def pow2_capped(x):
         p = next_pow2(max(min(x, auto_cap), 64))

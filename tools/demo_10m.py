@@ -70,6 +70,13 @@ def main():
             gt_sets = [set(r.astype(np.int64).tolist()) for r in ids_gt]
             filters_2 = filters
 
+    # the graph index builds its own pointset — free the prefilter's 5.1 GB
+    # device copy first or the two stores + build transients exceed HBM
+    del pre
+    import gc
+
+    gc.collect()
+
     t0 = time.time()
     idx = PostfilterVamanaIndex(
         points, labels,
