@@ -44,12 +44,17 @@ def main():
     for lo in range(0, N, 1_000_000):
         hi = lo + 1_000_000
         a = rng.integers(0, 1000, hi - lo)
-        points[lo:hi] = centers[a] + 0.35 * rng.normal(
+        # noise ~= center scale: ultra-tight normalized clusters degenerate
+        # MIPS RobustPrune (alpha * dist(p*,p') <= dist(p,p') with dists near
+        # -1 prunes everything — the reference's own rule, index.h:94-103;
+        # see CLAUDE.md round-3 notes) and no real angular dataset looks
+        # like that
+        points[lo:hi] = centers[a] + 1.0 * rng.normal(
             size=(hi - lo, D)).astype(np.float32)
     points /= np.linalg.norm(points, axis=1, keepdims=True)
     labels = rng.uniform(size=N)
     queries = (centers[rng.integers(0, 1000, NQ)]
-               + 0.35 * rng.normal(size=(NQ, D))).astype(np.float32)
+               + 1.0 * rng.normal(size=(NQ, D))).astype(np.float32)
     queries /= np.linalg.norm(queries, axis=1, keepdims=True)
 
     # angular data searched with MIPS (reference: run_our_method.py:218)
