@@ -36,12 +36,13 @@ def window_gather_max() -> int:
 MIN_CLASS = 64  # smallest padded window / batch size
 # Cap on gathered bytes per windowed_bruteforce launch (fp32), to bound HBM use.
 GATHER_BYTES_BUDGET = 1 << 30
-# Queries per full-scan launch. One launch for everything (round-2 change):
-# chunked launches were measured to SERIALIZE over the tunnel (4 chunks of
-# 512 took ~55 ms where one 2048-query launch takes ~8 ms — the per-dispatch
-# floor dwarfs any upload/compute overlap). The cap only bounds device
-# scratch for huge query sets.
-SCAN_CHUNK = 16384
+# Queries per full-scan launch. Measured on the tunnel (tools/final_batch
+# split experiment, 10240 queries): 2 launches of 5120 beat 1 of 16384 by
+# ~16% (the second launch's upload overlaps the first's kernel), while many
+# small launches serialize badly (chunks of 512 took 3.5x one big launch —
+# per-dispatch floors dwarf the overlap). 5120 is the sweet spot: big
+# enough to amortize floors, small enough to pipeline.
+SCAN_CHUNK = 5120
 
 
 @jax.jit

@@ -139,7 +139,8 @@ class SlabGraph:
             # Chunked: a full fp32 gather of [m, R, w] would need 4x the HBM
             # the quantized result takes.
             m = self.m
-            chunk = 1 << 16
+            # chunk the fp32 gather so its transient stays ~<1 GB
+            chunk = max(4096, next_pow2(int(1e9 // (self.R * w * 4))) // 2)
             n_ch = -(-m // chunk)
             buf = jnp.zeros((n_ch * chunk, self.R, w), dtype=jnp.int8)
             sc = jnp.zeros((n_ch * chunk,), dtype=jnp.float32)
