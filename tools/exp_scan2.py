@@ -149,9 +149,10 @@ def _scan_kernel_v2(blk_start_ref, blk_count_ref, starts_ref, ends_ref, q_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "tile", "bf16", "d_eff", "max_tiles", "interpret"))
+    static_argnames=(
+        "k", "tile", "bf16", "d_eff", "max_tiles", "interpret", "qblock"))
 def scan_v2(data, norms_sq, queries, starts, ends, k, tile=512, bf16=False,
-            d_eff=None, max_tiles=None, interpret=False):
+            d_eff=None, max_tiles=None, interpret=False, qblock=QBLOCK):
     n, d_pad = data.shape
     w_d = d_pad if d_eff is None else min(d_eff, d_pad)
     q = queries.shape[0]
@@ -166,7 +167,7 @@ def scan_v2(data, norms_sq, queries, starts, ends, k, tile=512, bf16=False,
     q_s = queries[order]
     s_s = starts[order]
     e_s = ends[order]
-    qb = min(q, QBLOCK)
+    qb = min(q, qblock)
     n_qb = q // qb
     sb = s_s.reshape(n_qb, qb)
     eb = e_s.reshape(n_qb, qb)
@@ -318,33 +319,46 @@ def main():
         d_eff=128, max_tiles=mt))
     check(out[1], "prod")
 
-    for tile in (512, 1024, 2048):
-        mt_t = None
-        # host_max_tiles assumes TILE=512; recompute inline for other tiles
+    def max_tiles_for(tile, qblock):
         n_tiles = -(-N // tile)
         ordr = np.argsort(starts + ends, kind="stable")
-        sb = starts[ordr].reshape(-1, min(NQ, QBLOCK))
-        eb = ends[ordr].reshape(-1, min(NQ, QBLOCK))
+        qb = min(NQ, qblock)
+        sb = starts[ordr].reshape(-1, qb)
+        eb = ends[ordr].reshape(-1, qb)
         lo = sb.min(1) // tile
         hi = -(-eb.max(1) // tile)
-        mt_t = min(n_tiles, int(np.ceil((hi - lo).max() / 8) * 8))
-        for bf16 in (False, True):
-            name = f"v2 insert {'bf16' if bf16 else 'fp32'} T={tile}"
-            out, dt = timeit(name, lambda tile=tile, bf16=bf16, mt_t=mt_t:
-                             scan_v2(ps.data, ps.norms_sq, qp, s_dev, e_dev,
-                                     K, tile=tile, bf16=bf16, d_eff=128,
-                                     max_tiles=mt_t))
-            check(out[1], name)
-            if bf16:
-                # e2e with fp32 re-rank of the k survivors' superset: rerun
-                # scan at k'=32 then re-rank
-                def e2e(tile=tile, mt_t=mt_t):
-                    d32, i32 = scan_v2(ps.data, ps.norms_sq, qp, s_dev, e_dev,
-                                       32, tile=tile, bf16=True, d_eff=128,
-                                       max_tiles=mt_t)
-                    return rerank_fp32(ps.data, ps.norms_sq, qp, i32, K)
-                out, dt = timeit(name + " k'=32+rerank", e2e)
-                check(out[1], name + "+rerank")
+        return min(n_tiles, int(np.ceil((hi - lo).max() / 8) * 8))
+
+    # round-3 sweep: QBLOCK x TILE (fewer grid steps per launch), fp32 only
+    for qblock in (128, 256, 512):
+        for tile in (2048, 4096):
+            mt_t = max_tiles_for(tile, qblock)
+            name = f"v2 insert fp32 QB={qblock} T={tile} (mt={mt_t})"
+            try:
+                out, dt = timeit(
+                    name,
+                    lambda tile=tile, qblock=qblock, mt_t=mt_t: scan_v2(
+                        ps.data, ps.norms_sq, qp, s_dev, e_dev, K, tile=tile,
+                        d_eff=128, max_tiles=mt_t, qblock=qblock))
+                check(out[1], name)
+            except Exception as e:
+                log(f"  {name}: FAILED {type(e).__name__}: {str(e)[:200]}")
+    # bf16 + rerank at the best grid shape for reference
+    for qblock, tile in ((256, 2048),):
+        mt_t = max_tiles_for(tile, qblock)
+        name = f"v2 insert bf16 QB={qblock} T={tile}"
+        out, dt = timeit(name, lambda: scan_v2(
+            ps.data, ps.norms_sq, qp, s_dev, e_dev, K, tile=tile, bf16=True,
+            d_eff=128, max_tiles=mt_t, qblock=qblock))
+        check(out[1], name)
+
+        def e2e(tile=tile, mt_t=mt_t, qblock=qblock):
+            d32, i32 = scan_v2(ps.data, ps.norms_sq, qp, s_dev, e_dev,
+                               32, tile=tile, bf16=True, d_eff=128,
+                               max_tiles=mt_t, qblock=qblock)
+            return rerank_fp32(ps.data, ps.norms_sq, qp, i32, K)
+        out, dt = timeit(name + " k'=32+rerank", e2e)
+        check(out[1], name + "+rerank")
 
 
 if __name__ == "__main__":
