@@ -167,7 +167,7 @@ def batched_range_bruteforce(
                 d, i = pallas_scan_bruteforce(
                     data, norms_sq, jnp.asarray(qs), jnp.asarray(ss),
                     jnp.asarray(ee), k=k, metric=metric, d_eff=w_d,
-                    max_tiles=host_max_tiles(ss, ee, data.shape[0]),
+                    max_tiles=host_max_tiles(ss, ee, data.shape[0], w_d=w_d),
                 )
             else:
                 d, i = scan_bruteforce(

@@ -44,32 +44,51 @@ from ..utils.data import METRIC_L2, METRIC_MIPS
 # inside the pallas kernel, which pallas_call rejects
 EMPTY_ID = 2**31 - 1
 
-TILE = 2048  # points per grid step (VMEM: 1 MB data tile + 1 MB dist scratch)
-QBLOCK = 128  # queries per grid step
+TILE = 2048  # points per grid step at wide rows (1 MB data tile, dbl-buffered)
+QBLOCK = 128  # queries per grid step at wide rows
 _W = 128  # lane-group width for the minima table
 
 
+def grid_params(w_d: "int | None") -> "tuple[int, int]":
+    """(tile, qblock) as a function of the streamed row width.
+
+    Measured (tools/exp_scan2.py round-3 sweep, 200k x 128d, 2048 queries):
+    at w_d <= 128, TILE=4096 / QBLOCK=256 runs ~12% faster than 2048/128
+    (half the grid steps; VMEM = 2 x 2 MB data buffers + 4 MB dist scratch).
+    At wider rows the double-buffered data tile alone would reach 8-16 MB,
+    and QBLOCK=256 measured *slower* at TILE=2048 — keep 2048/128 there.
+    w_d=None (caller streams full d_pad of unknown width) uses the wide-row
+    defaults, which are VMEM-safe for every d the protocol ships."""
+    if w_d is not None and w_d <= 128:
+        return 4096, 256
+    return TILE, QBLOCK
+
+
 def host_max_tiles(starts: "np.ndarray", ends: "np.ndarray", n: int,
-                   round_to: int = 8) -> int:
+                   round_to: int = 8, w_d: "int | None" = None) -> int:
     """Host-side replica of the kernel's per-block union-tile-count math
     (same stable midpoint sort, same blocking): the max count over blocks,
     rounded up to `round_to` so the set of compiled grids stays small. Pass
-    the PADDED starts/ends the kernel will see."""
+    the PADDED starts/ends the kernel will see, and the same w_d/d_eff the
+    kernel call will use (the tile size depends on it — grid_params). A
+    mismatch is safe but loose: a bound computed for a smaller tile always
+    covers the larger-tile grid."""
     import numpy as np
 
+    tile, qblock = grid_params(w_d)
     q = len(starts)
     starts = np.asarray(starts, dtype=np.int64)
     ends = np.asarray(ends, dtype=np.int64)
     order = np.argsort(starts + ends, kind="stable")
-    qb = min(q, QBLOCK)
+    qb = min(q, qblock)
     sb = starts[order].reshape(-1, qb)
     eb = ends[order].reshape(-1, qb)
     nonempty = eb > sb
-    n_tiles = -(-n // TILE)
+    n_tiles = -(-n // tile)
     blk_lo = np.min(np.where(nonempty, sb, n), axis=1)
     blk_hi = np.max(np.where(nonempty, eb, 0), axis=1)
-    blk_start = np.clip(blk_lo // TILE, 0, n_tiles - 1)
-    blk_end = np.clip(-(-blk_hi // TILE), 1, n_tiles)
+    blk_start = np.clip(blk_lo // tile, 0, n_tiles - 1)
+    blk_end = np.clip(-(-blk_hi // tile), 1, n_tiles)
     count = int(np.maximum(blk_end - blk_start, 1).max())
     return min(n_tiles, -(-count // round_to) * round_to)
 
@@ -213,9 +232,10 @@ def pallas_scan_bruteforce(
         raise ValueError(metric)
     n, d_pad = data.shape
     w_d = d_pad if d_eff is None else min(d_eff, d_pad)  # streamed block width
+    tile, qblock = grid_params(w_d)
     q = queries.shape[0]
-    n_tiles = -(-n // TILE)
-    pad = n_tiles * TILE - n
+    n_tiles = -(-n // tile)
+    pad = n_tiles * tile - n
     if pad:
         data = jnp.pad(data, ((0, pad), (0, 0)))
         norms_sq = jnp.pad(norms_sq, (0, pad))
@@ -229,7 +249,7 @@ def pallas_scan_bruteforce(
     s_s = starts[order]
     e_s = ends[order]
 
-    qb = min(q, QBLOCK)
+    qb = min(q, qblock)
     n_qb = q // qb  # q is QBLOCK-multiple-padded by callers
     # per-block union tile range (empty windows contribute nothing)
     sb = s_s.reshape(n_qb, qb)
@@ -237,8 +257,8 @@ def pallas_scan_bruteforce(
     nonempty = eb > sb
     blk_lo = jnp.min(jnp.where(nonempty, sb, n), axis=1)
     blk_hi = jnp.max(jnp.where(nonempty, eb, 0), axis=1)
-    blk_start = jnp.clip(blk_lo // TILE, 0, n_tiles - 1).astype(jnp.int32)
-    blk_end = jnp.clip(-(-blk_hi // TILE), 1, n_tiles).astype(jnp.int32)
+    blk_start = jnp.clip(blk_lo // tile, 0, n_tiles - 1).astype(jnp.int32)
+    blk_end = jnp.clip(-(-blk_hi // tile), 1, n_tiles).astype(jnp.int32)
     blk_count = jnp.maximum(blk_end - blk_start, 1).astype(jnp.int32)
 
     def tile_map(b, t, blk_start_ref, blk_count_ref):
@@ -261,17 +281,17 @@ def pallas_scan_bruteforce(
             pl.BlockSpec((qb, 1), qrow_map, memory_space=pltpu.VMEM),
             # only the first w_d lanes stream through VMEM (see d_eff above)
             pl.BlockSpec((qb, w_d), qrow_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, w_d), tile_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE), norms_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, w_d), tile_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), norms_map, memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((qb, k), qrow_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((qb, k), qrow_map, memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[pltpu.VMEM((qb, TILE), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((qb, tile), jnp.float32)],
     )
     kern = functools.partial(_scan_kernel, k=k, metric=metric, n_real=n,
-                             tile=TILE, groups=TILE // _W)
+                             tile=tile, groups=tile // _W)
     out_d, out_i = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -281,8 +301,8 @@ def pallas_scan_bruteforce(
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * q * (n_tiles * TILE) * w_d,
-            bytes_accessed=(n_tiles * TILE) * w_d * 4 + q * w_d * 4,
+            flops=2 * q * (n_tiles * tile) * w_d,
+            bytes_accessed=(n_tiles * tile) * w_d * 4 + q * w_d * 4,
             transcendentals=0,
         ),
     )(

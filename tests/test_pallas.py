@@ -104,14 +104,15 @@ def test_host_max_tiles_grid_matches_full(rng):
         rng.normal(size=(q, d)).astype(np.float32), d, ps.d_pad))
     ss = rng.integers(0, n // 2, size=q).astype(np.int32)
     ee = (ss + rng.integers(600, n // 4, size=q)).astype(np.int32)
-    mt = host_max_tiles(ss, ee, n, round_to=1)
+    mt = host_max_tiles(ss, ee, n, round_to=1, w_d=ps.d_pad)
     a = pallas_scan_bruteforce(ps.data, ps.norms_sq, queries,
                                jnp.asarray(ss), jnp.asarray(ee), k, "l2",
                                interpret=True)
     b = pallas_scan_bruteforce(ps.data, ps.norms_sq, queries,
                                jnp.asarray(ss), jnp.asarray(ee), k, "l2",
                                interpret=True, max_tiles=mt)
-    from rangefilteredann_tpu.ops.pallas_scan import TILE
-    assert mt < -(-n // TILE)  # the bound actually bit (grid < n_tiles)
+    from rangefilteredann_tpu.ops.pallas_scan import grid_params
+    tile, _ = grid_params(ps.d_pad)  # kernel streams full d_pad (no d_eff)
+    assert mt < -(-n // tile)  # the bound actually bit (grid < n_tiles)
     assert np.array_equal(np.asarray(a[1]), np.asarray(b[1]))
     assert np.array_equal(np.asarray(a[0]), np.asarray(b[0]))
