@@ -133,9 +133,11 @@ def main():
     from rangefilteredann_tpu.models.range_filter_tree import row_cache_filename
 
     tree_bp = BuildParams(R=48, L=100, alpha=1.2, cache_path="bench_cache/")
+    # probe row 1: row 0 lives in the SHARED whole-dataset vamana cache (the
+    # flat build above wrote it), so no wst_*_row0.npz file ever exists
     tree_cache = row_cache_filename(
         "bench_cache/", tree_bp, float(labels.min()), float(labels.max()),
-        N, 2, 1000, 0,
+        N, 2, 1000, 1,
     )
     if os.path.exists(tree_cache):
         tree = RangeFilterTreeIndex(
@@ -165,7 +167,7 @@ def main():
 
     super_cache = super_row_cache_filename(
         "bench_cache/", tree_bp, float(labels.min()), float(labels.max()),
-        N, 2.0, 0.5, 1000, 0,
+        N, 2.0, 0.5, 1000, 1,
     )
     if os.path.exists(super_cache):
         sup = SuperOptimizedPostfilterTree(
