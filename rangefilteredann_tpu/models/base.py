@@ -108,9 +108,14 @@ def batched_range_bruteforce(
     if small.any():
         idx_small = np.nonzero(small)[0]
         classes = pow2_classes(widths[idx_small])
+        futures = []  # launch every (class, chunk) first, fetch ONCE at the
+        # end: each blocking device_get pays the ~30 ms tunnel dispatch floor,
+        # so per-chunk fetches serialize (CLAUDE.md "Tunnel economics")
         for w in np.unique(classes):
             sel = idx_small[classes == w]
-            qpad = next_pow2(len(sel))
+            # MIN_CLASS floor: sub-64 batch shapes would each cost a fresh
+            # 20-40 s cold XLA compile for no launch-time win
+            qpad = next_pow2(max(len(sel), MIN_CLASS))
             # Respect the gather budget by chunking the query batch.
             max_q = max(64, int(GATHER_BYTES_BUDGET // (int(w) * d_pad * 4)))
             max_q = next_pow2(max_q) // 2 if next_pow2(max_q) > max_q else max_q
@@ -127,10 +132,12 @@ def batched_range_bruteforce(
                     data, norms_sq, jnp.asarray(qs), jnp.asarray(ss), jnp.asarray(ee),
                     window=int(w), k=k, metric=metric, norm_col=norm_col,
                 )
-                d, i = _unpack_di(
-                    jax.device_get(_pack_di(d, i)), k)  # ONE tunnel round trip
-                out_d[chunk] = d[: len(chunk)]
-                out_i[chunk] = i[: len(chunk)]
+                futures.append((chunk, _pack_di(d, i)))
+        for (chunk, _), packed in zip(futures, jax.device_get(
+                [p for _, p in futures])):  # ONE tunnel round trip for all
+            d, i = _unpack_di(packed, k)
+            out_d[chunk] = d[: len(chunk)]
+            out_i[chunk] = i[: len(chunk)]
     # --- large windows: tiled full scan ---
     if (~small).any():
         sel = np.nonzero(~small)[0]

@@ -53,11 +53,10 @@ from ..utils.data import first_geq, make_pointset, pad_queries, sort_by_labels
 from .base import (
     batched_range_bruteforce,
     finalize_output,
-    next_pow2,
     pad_batch,
     whole_dataset_cache,
 )
-from .postfilter_vamana import _filter_topk, doubling_postfilter
+from .postfilter_vamana import doubling_postfilter
 from .vamana import SlabGraph, build_vamana_graph
 
 
@@ -299,7 +298,8 @@ class RangeFilterTreeIndex:
 
     # -------------------------------------------------------------- execution
     def _run_single_shot(self, qis, rows, buckets, beams, queries_padded, k,
-                         stats=None, degree_limit=0):
+                         stats=None, degree_limit=0, cut=1.35,
+                         limit=10_000_000):
         """Dense batched single-shot bucket searches, grouped by (row, beam).
 
         Single-shot is the collapsed form of the leaf doubling query when the
@@ -333,8 +333,8 @@ class RangeFilterTreeIndex:
                 res = batched_beam_search(
                     self._ps.data, self._ps.norms_sq, g.nbrs_dev,
                     g.slab_to_global_dev, jnp.asarray(qs), jnp.asarray(st),
-                    beam=int(beam), k=0, cut=jnp.float32(1.35),
-                    limit=jnp.int32(10_000_000), metric=self._ps.metric,
+                    beam=int(beam), k=0, cut=jnp.float32(cut),
+                    limit=jnp.int32(limit), metric=self._ps.metric,
                     active_in=jnp.asarray(act), expand=default_expand(int(beam)),
                     degree_limit=0 if degree_limit >= g.R else int(degree_limit),
                     norm_col=(self._ps.norm_col
@@ -449,10 +449,16 @@ class RangeFilterTreeIndex:
                 return False
             kind, row, idx = plan
             is_b = kind == 1
-            dbl.append(
-                (sel[is_b], row[is_b].astype(np.int64), idx[is_b],
-                 lo_s[is_b], win_hi[is_b])
-            )
+            if self._leaf == "vamana":
+                dbl.append(
+                    (sel[is_b], row[is_b].astype(np.int64), idx[is_b],
+                     lo_s[is_b], win_hi[is_b])
+                )
+            else:
+                # prefilter leaves: the covering bucket's query IS an exact
+                # scan of bucket ∩ range = [lo_s, hi_s) (the bucket covers the
+                # whole range) — no doubling (ref: leaf ->query dispatch)
+                brute.append((sel[is_b], lo_s[is_b], hi_s[is_b]))
             return add_fenwick(sel[~is_b], lo_s[~is_b], hi_s[~is_b], beam_single)
 
         act = np.nonzero(hi > lo)[0]
@@ -492,7 +498,13 @@ class RangeFilterTreeIndex:
             ok = ok and add_optimized(left, lo[left], cover_lo[l_m], cover_lo[l_m])
             r_m = hi[f_sel] > cover_hi
             right = f_sel[r_m]
-            ok = ok and add_optimized(right, cover_hi[r_m], hi[right], hi[right])
+            # the right side's doubling window top is the ORIGINAL filter top,
+            # inclusive of hi-label ties (ref: right_range keeps range.second
+            # and the leaf label filter is inclusive there) — same extension
+            # the direct optimized_postfilter path gets via hi_incl
+            ok = ok and add_optimized(
+                right, cover_hi[r_m], hi[right],
+                hi_incl.astype(np.int64)[right])
         else:  # "fenwick" and anything unrecognized (ref dispatch :76-81)
             ok = add_fenwick(act, lo[act], hi[act], beam_single)
         if not ok:
@@ -541,6 +553,9 @@ class RangeFilterTreeIndex:
             kind, where = self._plan_optimized(lo, hi, qp)
             if kind == "fenwick":
                 emit_fenwick(qi, lo, hi)
+            elif self._leaf != "vamana":
+                # prefilter leaves: covering-bucket query = exact [lo, hi) scan
+                brute_tasks.append((qi, lo, hi))
             else:
                 r, b = where
                 dbl_tasks.append((qi, r, b))
@@ -571,7 +586,9 @@ class RangeFilterTreeIndex:
                 if cover_lo > lo:
                     emit_optimized(qi, lo, cover_lo)
                 if hi > cover_hi:
-                    emit_optimized(qi, cover_hi, hi)
+                    # inclusive-top extension for the right side's doubling
+                    # window (the native planner does the same)
+                    emit_optimized(qi, cover_hi, hi, win_hi=int(hi_incl[qi]))
             else:  # "fenwick" and anything unrecognized (ref dispatch :76-81)
                 emit_fenwick(qi, lo, hi)
 
@@ -624,7 +641,7 @@ class RangeFilterTreeIndex:
         # ---- execute the three phases as dense batches ----
         s_i, s_d = self._run_single_shot(
             s_qi, s_row, s_bkt, s_beam, qpad, k, stats=stats,
-            degree_limit=qp.degree_limit,
+            degree_limit=qp.degree_limit, cut=qp.cut, limit=qp.limit,
         )
         d_i, d_d = self._run_doubling(
             d_qi, d_row, d_bkt, d_wlo, d_whi, qpad, q_norms, qp, stats=stats

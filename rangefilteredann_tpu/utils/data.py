@@ -27,6 +27,11 @@ LANE = 128  # TPU lane width; last dim padded to a multiple of this.
 # at the API layer; internally we use canonical short names).
 METRIC_L2 = "l2"
 METRIC_MIPS = "mips"
+
+# Stores are row-padded to this multiple so every Pallas scan tile size
+# (ops/pallas_scan.grid_params: 2048 or 4096) divides them exactly — see
+# make_pointset. Must stay a multiple of the largest tile.
+SCAN_ROW_PAD = 4096
 _METRIC_ALIASES = {
     "euclidian": METRIC_L2,
     "euclidean": METRIC_L2,
@@ -116,16 +121,23 @@ def make_pointset(
     if points.ndim != 2:
         raise ValueError("points array must be 2-dimensional")
     n, d = points.shape
+    # Row-pad the store to a SCAN_ROW_PAD multiple so the Pallas scan's tiles
+    # divide it exactly — otherwise every scan launch re-pads the whole store
+    # on device (a full-HBM copy + transient 2x footprint at 10M+ points).
+    # Pad rows are all-zero with norm 0; every consumer masks by window ends
+    # (<= n) or candidate validity, never by gathered distance, so they are
+    # unreachable. PointSet.n stays the REAL count.
+    n_rows = -(-n // SCAN_ROW_PAD) * SCAN_ROW_PAD
     if points.dtype in (np.int8, np.uint8):
         dp = pad_dim(max(d, 1))
-        host = np.zeros((n, dp), dtype=points.dtype)
-        host[:, :d] = points
+        host = np.zeros((n_rows, dp), dtype=points.dtype)
+        host[:n, :d] = points
         norms = (host.astype(np.float64) ** 2).sum(axis=1).astype(np.float32)
         return PointSet(data=jnp.asarray(host), norms_sq=jnp.asarray(norms),
                         n=n, d=d, metric=metric, norm_col=-1)
     dp = pad_dim(d + 1)  # + 1 slot for the fused ||x||^2 column
-    host = np.zeros((n, dp), dtype=np.float32)
-    host[:, :d] = points.astype(np.float32)
+    host = np.zeros((n_rows, dp), dtype=np.float32)
+    host[:n, :d] = points.astype(np.float32)
     norms = np.einsum("nd,nd->n", host, host).astype(np.float32)
     norm_col = d
     host[:, norm_col] = norms

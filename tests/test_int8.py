@@ -44,9 +44,11 @@ def test_int_storage_dtype_and_layout(int_data):
     assert ps.d_pad % 128 == 0
     ps_u = make_pointset(pts_u8, "mips")
     assert ps_u.data.dtype == jnp.uint8
-    # norms exact
+    # norms exact; rows beyond n are scan-tile padding (zero vectors, norm 0)
     want = (pts_i8.astype(np.int64) ** 2).sum(1)
-    np.testing.assert_array_equal(np.asarray(ps.norms_sq), want.astype(np.float32))
+    norms = np.asarray(ps.norms_sq)
+    np.testing.assert_array_equal(norms[: ps.n], want.astype(np.float32))
+    assert (norms[ps.n:] == 0).all()
 
 
 @pytest.mark.parametrize("dtype", ["int8", "uint8"])
