@@ -151,6 +151,74 @@ def test_super_tree_validation(dataset):
         SuperOptimizedPostfilterTree(points[:100], labels[:100], shift_factor=1.5)
 
 
+@pytest.mark.parametrize("method", ["optimized_postfilter", "three_split"])
+def test_prefilter_leaf_optimized_methods_exact(dataset, gt_fn, method):
+    """optimized_postfilter/three_split with leaf='prefilter' must run the
+    covering bucket as an exact [lo, hi) scan (round-2 review: the planners
+    emitted doubling tasks into nonexistent graphs -> AttributeError)."""
+    points, labels, rng = dataset
+    tree = RangeFilterTreeIndex(points, labels, cutoff=300, leaf="prefilter")
+    queries, filters = make_queries(rng, 30, [0.01, 0.1, 0.3, 0.8])
+    qp = build_query_params(K, 10)
+    ids, _ = tree.batch_search(queries, filters, 30, method, qp)
+    gt_ids, _ = gt_fn(points, labels, queries, filters, K, "l2")
+    assert recall_of(ids, gt_ids) > 0.999
+
+
+def test_three_split_right_side_uses_inclusive_top(rng):
+    """three_split's right-side doubling window top must be hi_incl (the
+    inclusive-top tie extension the direct optimized_postfilter path gets),
+    not the exclusive hi_idx — round-2 review found both planners agreed on
+    the exclusive value, silently dropping hi-label ties right of the
+    covered center (ref: right_range keeps range.second; the vamana leaf
+    label filter is inclusive at the top, postfilter_vamana.h:236-237)."""
+    from rangefilteredann_tpu.utils.data import first_geq
+
+    n, d = 1200, 8
+    pts = rng.normal(size=(n, d)).astype(np.float32)
+    # heavy duplication: ~12 points per label value, so ties exist at any hi
+    labels = rng.integers(0, 100, size=n).astype(np.float64) / 100.0
+    tree = RangeFilterTreeIndex(
+        pts, labels, cutoff=150, split_factor=2,
+        build_params=BuildParams(R=8, L=16, alpha=1.2), seed=3,
+    )
+    ls = tree._labels_sorted
+    vals = np.unique(labels)
+    rng2 = np.random.default_rng(11)
+    pairs = []
+    for _ in range(24):
+        a, b = sorted(rng2.choice(len(vals), 2, replace=False))
+        pairs.append((vals[a], vals[b]))
+    filters = np.array(pairs)
+    lo_idx = first_geq(ls, filters[:, 0]).astype(np.int64)
+    hi_idx = first_geq(ls, filters[:, 1]).astype(np.int64)
+    hi_incl = np.searchsorted(ls, filters[:, 1], side="right")
+    assert (hi_incl > hi_idx).all()  # every hi sits exactly on a tied label
+    qp = build_query_params(K, 20)
+    planners = [
+        lambda: tree._plan_batch_native("three_split", lo_idx, hi_idx,
+                                        hi_incl, qp),
+        lambda: tree._plan_batch_python("three_split", lo_idx, hi_idx,
+                                        hi_incl, qp, len(filters)),
+    ]
+    checked_right_sides = 0
+    for planner in planners:
+        plan = planner()
+        if plan is None:  # native lib unavailable -> Python-only check
+            continue
+        _, (d_qi, _, _, _, d_whi), _ = plan
+        for qi in range(len(filters)):
+            tops = d_whi[d_qi == qi]
+            # left-side windows top out at cover_lo < hi_idx; anything at or
+            # past hi_idx is a right-side window and must carry the extension
+            right = tops[tops >= hi_idx[qi]]
+            checked_right_sides += len(right)
+            assert (right == hi_incl[qi]).all(), (
+                f"query {qi}: right-side window tops {right} != "
+                f"hi_incl {hi_incl[qi]}")
+    assert checked_right_sides > 0  # the scenario actually occurred
+
+
 def test_row0_shares_whole_dataset_cache(rng, tmp_path):
     """B-WST row 0 and the flat postfilter graph are the same build; the tree
     must load the flat index's cache instead of rebuilding (reference shares
