@@ -29,6 +29,7 @@ tree uses the same kernel with a non-trivial map.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -36,6 +37,11 @@ import jax.numpy as jnp
 
 from .distances import fused_norm_distances, gathered_distances
 from .topk import EMPTY_ID
+
+# Frontier-merge implementation for the narrow-candidate query path:
+# "sort" (single two-key lax.sort) or "path" (merge-path ranks, sort-free).
+# Read at trace time; parity is test-enforced (tests/test_beam_search.py).
+MERGE_IMPL = os.environ.get("RFANN_MERGE", "sort")
 
 
 def default_expand(beam: int) -> int:
@@ -143,14 +149,11 @@ def _merge_dedup_sort(ids, dists, expl, beam):
     return f_ids[:, :beam], f_d[:, :beam], f_e[:, :beam]
 
 
-def _merge_frontier_cands(f_ids, f_d, f_e, c_ids, c_d, beam):
-    """Merge a duplicate-free sorted frontier with fresh candidates: duplicate
-    candidates are masked by O(C*(B+C)) VPU compares — against the frontier
-    (the frontier copy wins, matching explored-copy priority: candidates are
-    always unexplored) and against earlier candidate slots (keep-first) — so
-    only ONE (dist, key) sort runs per step instead of a dedup sort plus a
-    rank sort. Exactness is enforced by the beam-search oracle tests.
-    """
+def _dedup_cands(f_ids, c_ids, c_d):
+    """Mask candidate duplicates — against the frontier (the frontier copy
+    wins, matching explored-copy priority: candidates are always unexplored)
+    and against earlier candidate slots (keep-first) — with O(C*(B+C)) VPU
+    compares instead of a dedup sort."""
     dup_f = (c_ids[:, :, None] == f_ids[:, None, :]).any(axis=2)  # [Q, C]
     same = c_ids[:, :, None] == c_ids[:, None, :]  # [Q, C, C]
     c = c_ids.shape[1]
@@ -158,8 +161,14 @@ def _merge_frontier_cands(f_ids, f_d, f_e, c_ids, c_d, beam):
         jax.lax.broadcasted_iota(jnp.int32, (1, c, c), 1)
     dup_c = (same & earlier).any(axis=2)
     dup = (dup_f | dup_c) & (c_ids != EMPTY_ID)
-    c_ids = jnp.where(dup, EMPTY_ID, c_ids)
-    c_d = jnp.where(dup, jnp.inf, c_d)
+    return (jnp.where(dup, EMPTY_ID, c_ids), jnp.where(dup, jnp.inf, c_d))
+
+
+def _merge_frontier_cands(f_ids, f_d, f_e, c_ids, c_d, beam):
+    """Merge a duplicate-free sorted frontier with fresh candidates; only ONE
+    (dist, key) sort runs per step instead of a dedup sort plus a rank sort.
+    Exactness is enforced by the beam-search oracle tests."""
+    c_ids, c_d = _dedup_cands(f_ids, c_ids, c_d)
     m_ids = jnp.concatenate([f_ids, c_ids], axis=1)
     m_d = jnp.concatenate([f_d, c_d], axis=1)
     m_e = jnp.concatenate([f_e, jnp.zeros_like(c_ids)], axis=1)
@@ -168,6 +177,46 @@ def _merge_frontier_cands(f_ids, f_d, f_e, c_ids, c_d, beam):
     o_ids = jnp.where(s_key == EMPTY_ID, EMPTY_ID, s_key >> 1)
     o_e = jnp.where(s_key == EMPTY_ID, 0, s_key & 1)
     return o_ids[:, :beam], s_d[:, :beam], o_e[:, :beam]
+
+
+def _merge_frontier_cands_path(f_ids, f_d, f_e, c_ids, c_d, beam):
+    """Sort-free merge of the sorted frontier with fresh candidates via
+    merge-path ranks: only the C-wide candidate set is sorted; each merged
+    output slot then computes its source with rank compares + two row
+    gathers. Replaces the per-step [Q, B+C] two-key lax.sort (the serial
+    bitonic network dominates the step at large beams) with O(B*C) VPU
+    compares. Exact same (dist, id) order — both (id, flag) tie rules and
+    EMPTY padding match `_merge_frontier_cands` (oracle + parity tested)."""
+    q, b = f_ids.shape
+    c = c_ids.shape[1]
+    c_ids, c_d = _dedup_cands(f_ids, c_ids, c_d)
+    # sort candidates by (dist, id); candidates are always unexplored (e=0)
+    c_d, c_ids = jax.lax.sort((c_d, c_ids), num_keys=2)
+    # merge-path ranks. Strict-vs-nonstrict asymmetry makes positions unique:
+    #   pos_f[i] = i + #{j : (c_j  <  f_i)}   (candidate strictly less)
+    #   pos_c[j] = j + #{i : (f_i  <= c_j)}   (frontier wins ties — including
+    #                                          the all-EMPTY/inf padding tail)
+    fd_b = f_d[:, :, None]  # [Q, B, 1]
+    fi_b = f_ids[:, :, None]
+    cd_b = c_d[:, None, :]  # [Q, 1, C]
+    ci_b = c_ids[:, None, :]
+    leq_fc = (fd_b < cd_b) | ((fd_b == cd_b) & (fi_b <= ci_b))  # [Q, B, C]
+    pos_c = jax.lax.broadcasted_iota(jnp.int32, (q, c), 1) + \
+        leq_fc.sum(axis=1, dtype=jnp.int32)  # [Q, C]
+    # output slot p < beam: from a candidate iff some pos_c == p
+    iota_p = jax.lax.broadcasted_iota(jnp.int32, (q, beam), 1)
+    is_c = pos_c[:, None, :] == iota_p[:, :, None]  # [Q, P, C]
+    from_c = is_c.any(axis=2)
+    c_sel = jnp.argmax(is_c, axis=2)  # [Q, P]
+    # frontier source index: slot p minus the candidates placed before it
+    f_sel = iota_p - (jnp.cumsum(from_c.astype(jnp.int32), axis=1) -
+                      from_c.astype(jnp.int32))
+    f_sel = jnp.minimum(f_sel, b - 1)  # always < b; clamp for safety
+    take = jnp.take_along_axis
+    o_d = jnp.where(from_c, take(c_d, c_sel, 1), take(f_d, f_sel, 1))
+    o_i = jnp.where(from_c, take(c_ids, c_sel, 1), take(f_ids, f_sel, 1))
+    o_e = jnp.where(from_c, 0, take(f_e, f_sel, 1))
+    return o_i, o_d, o_e
 
 
 @functools.partial(
@@ -365,7 +414,9 @@ def batched_beam_search(
         # multi-expansion candidate sets of builds the O(C^2) compare would
         # cost more than the sort it saves.
         if cand_ids.shape[1] <= 128:
-            nf_ids, nf_d, nf_e = _merge_frontier_cands(
+            merge = (_merge_frontier_cands_path if MERGE_IMPL == "path"
+                     else _merge_frontier_cands)
+            nf_ids, nf_d, nf_e = merge(
                 f_ids, f_d, f_e, cand_ids, cand_dist, beam)
         else:
             m_ids = jnp.concatenate([f_ids, cand_ids], axis=1)

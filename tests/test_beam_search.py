@@ -370,3 +370,55 @@ def test_inline_int8_quantized_with_rerank(rng):
                 continue
             true = (x64[bi_np[i, j]] ** 2).sum() - 2 * q64[i] @ x64[bi_np[i, j]]
             assert abs(true - bd_np[i, j]) < 1e-2, (true, bd_np[i, j])
+
+
+def test_merge_path_matches_sort_merge(rng):
+    """The sort-free merge-path frontier merge must produce bit-identical
+    (ids, dists, explored) to the lax.sort merge for every input shape the
+    kernel feeds it: duplicate candidates (vs frontier and internal),
+    EMPTY/inf padding, distance ties between distinct ids, and full or
+    partially-empty frontiers."""
+    from rangefilteredann_tpu.ops.beam_search import (
+        EMPTY_ID, _merge_frontier_cands, _merge_frontier_cands_path)
+
+    rng2 = np.random.default_rng(7)
+    for trial in range(40):
+        q = int(rng2.integers(1, 9))
+        beam = int(rng2.choice([4, 8, 16, 40]))
+        c = int(rng2.choice([3, 8, 48]))
+        n_real = rng2.integers(0, beam + 1, size=q)
+        f_ids = np.full((q, beam), EMPTY_ID, dtype=np.int32)
+        f_d = np.full((q, beam), np.inf, dtype=np.float32)
+        f_e = np.zeros((q, beam), dtype=np.int32)
+        for i in range(q):
+            r = int(n_real[i])
+            ids = rng2.choice(1000, size=r, replace=False).astype(np.int32)
+            # quantized dists force ties between distinct ids
+            d = (rng2.integers(0, 6, size=r) * 0.25).astype(np.float32)
+            order = np.lexsort((ids, d))
+            f_ids[i, :r] = ids[order]
+            f_d[i, :r] = d[order]
+            f_e[i, :r] = rng2.integers(0, 2, size=r)
+        c_ids = rng2.integers(0, 1000, size=(q, c)).astype(np.int32)
+        c_d = (rng2.integers(0, 6, size=(q, c)) * 0.25).astype(np.float32)
+        # inject EMPTY candidates and duplicates of frontier entries
+        kill = rng2.random((q, c)) < 0.3
+        c_ids = np.where(kill, EMPTY_ID, c_ids)
+        c_d = np.where(kill, np.inf, c_d).astype(np.float32)
+        for i in range(q):
+            if n_real[i] and c >= 2:
+                c_ids[i, 0] = f_ids[i, 0]  # dup of a frontier entry
+        a = _merge_frontier_cands(
+            jnp.asarray(f_ids), jnp.asarray(f_d), jnp.asarray(f_e),
+            jnp.asarray(c_ids), jnp.asarray(c_d), beam)
+        b = _merge_frontier_cands_path(
+            jnp.asarray(f_ids), jnp.asarray(f_d), jnp.asarray(f_e),
+            jnp.asarray(c_ids), jnp.asarray(c_d), beam)
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]),
+                                      err_msg=f"ids trial {trial}")
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]),
+                                      err_msg=f"dists trial {trial}")
+        # explored flags only matter on non-empty slots
+        ne = np.asarray(a[0]) != EMPTY_ID
+        np.testing.assert_array_equal(np.asarray(a[2])[ne], np.asarray(b[2])[ne],
+                                      err_msg=f"expl trial {trial}")
