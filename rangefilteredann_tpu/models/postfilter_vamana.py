@@ -42,6 +42,12 @@ from .vamana import SlabGraph, build_vamana_graph
 # Doubling loops clamp to this; queries needing more belong on the trees.
 MAX_SAFE_BEAM = 2048
 
+# Launch each round-1 beam class's final_beam_multiply pass speculatively
+# (before knowing whether the class satisfies), and reuse it as the doubled
+# search when fm == 2. Results are bit-identical either way (per-query
+# deterministic kernel) — test-enforced; False = plain sequential doubling.
+SPECULATE = True
+
 
 def _filter_topk(f_ids, f_dists, graph: SlabGraph, win_lo, win_hi, k):
     """Window-filter each frontier on device, return host (counts, ids [Q,k],
@@ -191,7 +197,31 @@ def doubling_postfilter(
         return (counts, g, d), res
 
     first_round = True
+    # round-1 speculative finals whose beam EQUALS the doubled beam (fm == 2)
+    # double as the next round's search for queries that fail round 1: the
+    # kernel is per-query deterministic, so the spec rows for those queries
+    # are bit-identical to a relaunch at 2b — reuse them host-side.
+    reuse: dict[int, tuple] = {}  # next_beam -> (sel, counts, ids, dists, res)
     while not done.all():
+        for b, (sel_r, counts_r, ti_r, td_r, s_res) in list(reuse.items()):
+            live = ~done[sel_r] & (cur_beam[sel_r] == b)
+            if not live.any():
+                reuse.pop(b)
+                continue
+            sub = np.nonzero(live)[0]
+            sel = sel_r[sub]
+            res_i[sel] = ti_r[sub].astype(np.int64)
+            res_d[sel] = td_r[sub]
+            enough = counts_r[sub] >= k
+            done[sel[enough]] = True
+            grow = sel[~enough]
+            cur_beam[grow] *= 2
+            done[grow] |= cur_beam[grow] >= max_beam
+            if stats is not None:
+                ids_for = stat_ids[sel_r] if stat_ids is not None else sel_r
+                stat_buf.append(
+                    (ids_for, sub, s_res.num_visited, s_res.dist_cmps))
+            reuse.pop(b)
         beams = np.unique(cur_beam[~done])
         # enqueue every beam class AND its speculative final pass before any
         # blocking fetch: in the common case (round 1 yields >= k in-window
@@ -204,7 +234,13 @@ def doubling_postfilter(
             fut, _ = _search_and_filter(sel, b)
             launches.append((sel, b, fut))
             fb = min(b * qp.final_beam_multiply, max_beam)
-            if first_round and fb > b:
+            # speculate the final pass in round 1 (common case: the class
+            # satisfies and takes it). When fm == 2, speculate EVERY round:
+            # the spec at 2b serves satisfied queries as their final AND
+            # failed queries as their doubled search (reuse below), so the
+            # level sequence 10,20,40,... is searched exactly once either
+            # way — zero wasted kernel work, one fewer round trip per level.
+            if SPECULATE and fb > b and (first_round or fb == 2 * b):
                 # spec stats fold later, only for queries that take the result
                 s_fut, s_res = _search_and_filter(sel, fb, collect_stats=False)
                 spec[b] = (fb, s_fut, s_res)
@@ -224,7 +260,7 @@ def doubling_postfilter(
             done[grow] |= cur_beam[grow] >= max_beam
             if b in spec:  # speculative final for THIS beam class (same sel)
                 fb, _, s_res = spec[b]
-                _, ti_s, td_s = spec_fetched[b]
+                counts_s, ti_s, td_s = spec_fetched[b]
                 sat = np.nonzero(enough)[0]
                 res_i[sel[sat]] = np.asarray(ti_s)[:q][sat].astype(np.int64)
                 res_d[sel[sat]] = np.asarray(td_s)[:q][sat]
@@ -233,6 +269,12 @@ def doubling_postfilter(
                     ids_for = stat_ids[sel] if stat_ids is not None else sel
                     stat_buf.append(
                         (ids_for, sat, s_res.num_visited, s_res.dist_cmps))
+                if fb == 2 * b and not enough.all():
+                    # fm == 2: the spec search IS the doubled-beam search the
+                    # failed queries need next round — stash for reuse
+                    reuse[fb] = (sel, np.asarray(counts_s)[:q],
+                                 np.asarray(ti_s)[:q], np.asarray(td_s)[:q],
+                                 s_res)
         first_round = False
     # final pass at beam * final_beam_multiply (ref: postfilter_vamana.h:173-181)
     # for queries whose speculative final didn't apply (doubled, or fm == 1)

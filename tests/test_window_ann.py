@@ -78,3 +78,35 @@ def test_int8_mips_postfilter_recall(rng):
         for i in range(nq)
     ])
     assert recall >= 0.8, recall
+
+
+def test_speculative_doubling_matches_sequential(rng):
+    """The round-1 speculative final pass + its reuse as the doubled-beam
+    search (fm == 2) must be bit-identical to plain sequential doubling —
+    the kernel is per-query deterministic, so this pins the host regrouping
+    logic (round-3 change: spec results reused instead of relaunching)."""
+    from rangefilteredann_tpu import BuildParams, build_query_params
+    from rangefilteredann_tpu.models import postfilter_vamana as pv
+
+    n, d, k = 3000, 16, 10
+    pts = rng.normal(size=(n, d)).astype(np.float32)
+    labels = rng.uniform(size=n)
+    idx = pv.PostfilterVamanaIndex(
+        pts, labels, BuildParams(R=12, L=24, alpha=1.2), seed=2)
+    nq = 48
+    queries = rng.normal(size=(nq, d)).astype(np.float32)
+    # narrow windows force several doubling rounds; include a couple of
+    # wide ones so round 1 also satisfies some queries
+    widths = np.concatenate([np.full(40, 0.01), np.full(8, 0.5)])
+    lo = rng.uniform(0, 0.4, size=nq)
+    filters = np.stack([lo, lo + widths], 1)
+    qp = build_query_params(k, 10, final_beam_multiply=2)
+    assert pv.SPECULATE
+    ids_a, d_a = idx.batch_search(queries, filters, nq, qp)
+    pv.SPECULATE = False
+    try:
+        ids_b, d_b = idx.batch_search(queries, filters, nq, qp)
+    finally:
+        pv.SPECULATE = True
+    np.testing.assert_array_equal(ids_a, ids_b)
+    np.testing.assert_array_equal(d_a, d_b)
