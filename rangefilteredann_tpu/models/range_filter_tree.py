@@ -316,6 +316,15 @@ class RangeFilterTreeIndex:
         # enqueue every (row, beam) group first, fetch ONCE: each blocking
         # device_get costs a ~30 ms tunnel dispatch floor, and a fenwick plan
         # routinely touches several rows per batch
+        from .base import _qcache_get, _qcache_put, _qcache_rows, _qkey
+
+        qk = _qkey(queries_padded)
+        q_dev = _qcache_get(qk)
+        if q_dev is None:
+            # one upload serves every (row, beam) group's gathered block —
+            # fenwick tasks repeat queries across groups (models/base cache)
+            _qcache_put(qk, queries_padded)
+            q_dev = _qcache_get(qk)
         launches = []
         for r in np.unique(rows):
             g = self._res.touch(r)
@@ -324,15 +333,15 @@ class RangeFilterTreeIndex:
                 sel = np.nonzero((rows == r) & (beams == beam))[0]
                 starts = off[buckets[sel]].astype(np.int32)
                 tp = pad_batch(len(sel))
-                qs = np.zeros((tp, queries_padded.shape[1]), np.float32)
                 st = np.zeros((tp,), np.int32)
                 act = np.zeros((tp,), bool)
-                qs[: len(sel)] = queries_padded[qis[sel]]
                 st[: len(sel)] = starts
                 act[: len(sel)] = True
                 res = batched_beam_search(
                     self._ps.data, self._ps.norms_sq, g.nbrs_dev,
-                    g.slab_to_global_dev, jnp.asarray(qs), jnp.asarray(st),
+                    g.slab_to_global_dev,
+                    _qcache_rows(q_dev, qis[sel], tp, q_dev.shape[1]),
+                    jnp.asarray(st),
                     beam=int(beam), k=0, cut=jnp.float32(cut),
                     limit=jnp.int32(limit), metric=self._ps.metric,
                     active_in=jnp.asarray(act), expand=default_expand(int(beam)),
@@ -367,9 +376,10 @@ class RangeFilterTreeIndex:
             off = self._offsets[r]
             starts = off[buckets[sel]].astype(np.int32)
             ids, dists = doubling_postfilter(
-                self._ps, g, queries_padded[qis[sel]], q_norms[qis[sel]],
+                self._ps, g, queries_padded, q_norms[qis[sel]],
                 starts, win_lo[sel], win_hi[sel], qp, self._ps.metric,
                 stats=stats, stat_ids=qis[sel], mesh=self._mesh,
+                q_rows=qis[sel],
             )
             out_i[sel], out_d[sel] = ids, dists
         return out_i, out_d

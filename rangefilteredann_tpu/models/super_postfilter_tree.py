@@ -263,10 +263,10 @@ class SuperOptimizedPostfilterTree:
             g = self._res.touch(r)
             starts = g.bucket_slab_offsets[buckets[sel]].astype(np.int32)
             ids, dists = doubling_postfilter(
-                self._ps, g, qpad[sel], q_norms[sel], starts,
+                self._ps, g, qpad, q_norms[sel], starts,
                 lo_idx[sel].astype(np.int64), hi_incl[sel].astype(np.int64),
                 qp, self._ps.metric, stats=stats, stat_ids=sel,
-                mesh=self._mesh,
+                mesh=self._mesh, q_rows=sel,
             )
             out_i[sel], out_d[sel] = ids, dists
 

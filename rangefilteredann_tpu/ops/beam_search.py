@@ -75,16 +75,32 @@ def window_filter_topk(
 ):
     """Label-window filter + top-k of a beam frontier, on device
     (ref: postfilter_vamana.h:223-254 filtering loop). Returns
-    (counts [Q], gids [Q, k] int32 EMPTY_ID-padded, dists [Q, k])."""
+    (counts [Q], gids [Q, k] int32 EMPTY_ID-padded, dists [Q, k]).
+
+    Sort-free: the frontier arrives (dist, slab-id)-sorted and window
+    filtering preserves relative order, so the top-k in-window entries are
+    the first k by in-window rank — k argmax+gather rounds replace the
+    [Q, B] two-key sort (which dominates at doubling beams of 512-2048).
+    Tie order matches the previous sort-by-(dist, GLOBAL id) because every
+    search's frontier lives in one bucket's slab range, where slab -> global
+    is ascending (flat graphs and tree rows: identity; super-tree rows:
+    per-bucket contiguous ranges) — pinned by the oracle/GT parity tests."""
     m = s2g.shape[0]
     valid = f_ids != EMPTY_ID
     gids = s2g[jnp.clip(f_ids, 0, m - 1)]
     inwin = valid & (gids >= win_lo[:, None]) & (gids < win_hi[:, None])
     counts = inwin.sum(axis=1, dtype=jnp.int32)
-    d = jnp.where(inwin, f_d, jnp.inf)
-    g = jnp.where(inwin, gids, EMPTY_ID)
-    d, g = jax.lax.sort((d, g), num_keys=2)
-    return counts, g[:, :k], d[:, :k]
+    rank = jnp.cumsum(inwin.astype(jnp.int32), axis=1)  # 1-based in-window
+    out_d, out_g = [], []
+    for j in range(k):
+        hit = inwin & (rank == j + 1)  # at most one True per row
+        has = hit.any(axis=1)
+        p = jnp.argmax(hit, axis=1)[:, None]
+        out_d.append(jnp.where(
+            has, jnp.take_along_axis(f_d, p, 1)[:, 0], jnp.inf))
+        out_g.append(jnp.where(
+            has, jnp.take_along_axis(gids, p, 1)[:, 0], EMPTY_ID))
+    return counts, jnp.stack(out_g, axis=1), jnp.stack(out_d, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "metric", "norm_col"))

@@ -422,3 +422,48 @@ def test_merge_path_matches_sort_merge(rng):
         ne = np.asarray(a[0]) != EMPTY_ID
         np.testing.assert_array_equal(np.asarray(a[2])[ne], np.asarray(b[2])[ne],
                                       err_msg=f"expl trial {trial}")
+
+
+def test_window_filter_topk_matches_sort_oracle(rng):
+    """Sort-free window_filter_topk (rank selection over the already-sorted
+    frontier) must match the filter+lexsort-by-(dist, global id) oracle —
+    including distance ties and a non-identity (per-bucket ascending) slab
+    map like the super-tree's."""
+    from rangefilteredann_tpu.ops.beam_search import (
+        EMPTY_ID, window_filter_topk)
+
+    rng2 = np.random.default_rng(3)
+    m = 500
+    # ascending s2g (the documented contract: per-bucket contiguous ranges)
+    s2g = jnp.asarray(np.sort(rng2.choice(5000, size=m, replace=False))
+                      .astype(np.int32))
+    s2g_h = np.asarray(s2g)
+    for trial in range(20):
+        q, b, k = 6, 32, 10
+        f_ids = np.full((q, b), EMPTY_ID, dtype=np.int32)
+        f_d = np.full((q, b), np.inf, dtype=np.float32)
+        for i in range(q):
+            r = int(rng2.integers(0, b + 1))
+            ids = rng2.choice(m, size=r, replace=False).astype(np.int32)
+            d = (rng2.integers(0, 5, size=r) * 0.5).astype(np.float32)  # ties
+            order = np.lexsort((ids, d))
+            f_ids[i, :r] = ids[order]
+            f_d[i, :r] = d[order]
+        lo = rng2.integers(0, 4000, size=q).astype(np.int32)
+        hi = (lo + rng2.integers(0, 3000, size=q)).astype(np.int32)
+        counts, g, d = window_filter_topk(
+            jnp.asarray(f_ids), jnp.asarray(f_d), s2g,
+            jnp.asarray(lo), jnp.asarray(hi), k)
+        counts, g, d = np.asarray(counts), np.asarray(g), np.asarray(d)
+        for i in range(q):
+            real = f_ids[i] != EMPTY_ID
+            gids = np.where(real, s2g_h[np.clip(f_ids[i], 0, m - 1)], -1)
+            inwin = real & (gids >= lo[i]) & (gids < hi[i])
+            assert counts[i] == inwin.sum()
+            want_order = np.lexsort((gids[inwin], f_d[i][inwin]))
+            want_g = gids[inwin][want_order][:k]
+            want_d = f_d[i][inwin][want_order][:k]
+            np.testing.assert_array_equal(g[i][: len(want_g)], want_g)
+            np.testing.assert_array_equal(d[i][: len(want_d)], want_d)
+            assert (g[i][len(want_g):] == EMPTY_ID).all()
+            assert np.isinf(d[i][len(want_d):]).all()
