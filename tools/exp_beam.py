@@ -117,7 +117,7 @@ def phase_pieces(idx):
           f"({NQ*R*w*4/dt/1e9:.0f} GB/s)", flush=True)
 
     # --- 2. merge impls across beams ---
-    for beam in (10, 20, 40, 80, 160, 320):
+    for beam in (10, 20, 40, 80, 160, 320, 640, 1280, 2048):
         f_d0 = np.sort(rng.normal(size=(NQ, beam)).astype(np.float32), axis=1)
         f_i0 = rng.integers(0, N, size=(NQ, beam)).astype(np.int32)
         f_e0 = rng.integers(0, 2, size=(NQ, beam)).astype(np.int32)
@@ -152,7 +152,7 @@ def phase_kernel_ab(idx, queries):
     for impl in ("sort", "path"):
         bs.MERGE_IMPL = impl
         bs.batched_beam_search.clear_cache()
-        for beam in (10, 20, 40, 80, 160, 320):
+        for beam in (10, 20, 40, 80, 160, 320, 640, 1280, 2048):
             def run(beam=beam):
                 r = bs.batched_beam_search(
                     ps.data, ps.norms_sq, g.nbrs_dev, g.slab_to_global_dev,
@@ -171,6 +171,13 @@ def phase_e2e(idx, queries, filters):
     from rangefilteredann_tpu import build_query_params
     from rangefilteredann_tpu.ops import beam_search as bs
 
+    # narrow-fraction case: doubling cascade exercises spec-reuse + the
+    # merge at large beams (2048 queries — 10240 would take minutes/run)
+    rng = np.random.default_rng(5)
+    lo6 = rng.uniform(0, 1 - 2.0**-6, size=2048)
+    filters6 = np.stack([lo6, lo6 + 2.0**-6], axis=1)
+    q6 = queries[:2048]
+
     for impl in ("sort", "path"):
         bs.MERGE_IMPL = impl
         bs.batched_beam_search.clear_cache()
@@ -180,6 +187,10 @@ def phase_e2e(idx, queries, filters):
                         reps=2)
             print(f"e2e[{impl}] beam={beam} fm={fm}: {dt*1e3:.0f} ms "
                   f"({len(queries)/dt:.0f} qps)", flush=True)
+        qp = build_query_params(K, 40, final_beam_multiply=2)
+        dt = t_best(lambda: idx.batch_search(q6, filters6, 2048, qp), reps=2)
+        print(f"e2e[{impl}] frac=2^-6 beam=40 fm=2 (2048q): {dt*1e3:.0f} ms "
+              f"({2048/dt:.0f} qps)", flush=True)
 
 
 def main():
