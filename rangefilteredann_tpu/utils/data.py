@@ -132,7 +132,14 @@ def make_pointset(
         dp = pad_dim(max(d, 1))
         host = np.zeros((n_rows, dp), dtype=points.dtype)
         host[:n, :d] = points
-        norms = (host.astype(np.float64) ** 2).sum(axis=1).astype(np.float32)
+        # exact integer norms, CHUNKED: a whole-array float64 square is a
+        # n*dp*8-byte transient (49 GB at 12M x 512 — it stalled the 12M
+        # demo for minutes); int64 chunks keep the peak at ~0.5 GB
+        norms = np.zeros(n_rows, dtype=np.float32)
+        step = 1 << 20
+        for lo in range(0, n, step):
+            blk = host[lo : lo + step].astype(np.int64)
+            norms[lo : lo + step] = (blk * blk).sum(axis=1).astype(np.float32)
         return PointSet(data=jnp.asarray(host), norms_sq=jnp.asarray(norms),
                         n=n, d=d, metric=metric, norm_col=-1)
     dp = pad_dim(d + 1)  # + 1 slot for the fused ||x||^2 column
