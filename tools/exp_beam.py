@@ -89,30 +89,34 @@ def phase_pieces(idx):
     base = jnp.asarray(rng.integers(0, N, size=NQ).astype(np.int32))
 
     # --- 1. inline block gather + distances ---
+    # arrays are ARGUMENTS, not closure captures: jit closures over big
+    # device arrays embed them as HLO constants (the remote-compile POST
+    # then 413s — CLAUDE.md environment gotchas)
     @functools.partial(jax.jit, static_argnames=("iters",))
-    def gd(base, iters):
+    def gd(nbr_vecs, nbr_norms, qs, base, iters):
         def body(i, acc):
             cur = (base + i * 9973) % N
-            blk = g.nbr_vecs[cur][:, :R, :]          # [Q, R, w]
-            nrm = g.nbr_norms[cur][:, :R]
-            d = gathered_distances(queries, blk, nrm, "l2")
+            blk = nbr_vecs[cur][:, :R, :]          # [Q, R, w]
+            nrm = nbr_norms[cur][:, :R]
+            d = gathered_distances(qs, blk, nrm, "l2")
             return acc + d[:, 0]
         return jax.lax.fori_loop(0, iters, body, jnp.zeros((NQ,), jnp.float32))
 
-    dt = slope(lambda it: jax.block_until_ready(gd(base, iters=it)))
+    dt = slope(lambda it: jax.block_until_ready(
+        gd(g.nbr_vecs, g.nbr_norms, queries, base, iters=it)))
     print(f"inline gather+dists [Q={NQ},R={R},w={w}]: {dt*1e6:.0f} us/step "
           f"({NQ*R*w*4/dt/1e9:.0f} GB/s)", flush=True)
 
     # gather only (no matmul) to split DMA from MXU
     @functools.partial(jax.jit, static_argnames=("iters",))
-    def go(base, iters):
+    def go(nbr_vecs, base, iters):
         def body(i, acc):
             cur = (base + i * 9973) % N
-            blk = g.nbr_vecs[cur][:, :R, :]
+            blk = nbr_vecs[cur][:, :R, :]
             return acc + blk[:, 0, 0]
         return jax.lax.fori_loop(0, iters, body, jnp.zeros((NQ,), jnp.float32))
 
-    dt = slope(lambda it: jax.block_until_ready(go(base, iters=it)))
+    dt = slope(lambda it: jax.block_until_ready(go(g.nbr_vecs, base, iters=it)))
     print(f"inline gather only: {dt*1e6:.0f} us/step "
           f"({NQ*R*w*4/dt/1e9:.0f} GB/s)", flush=True)
 

@@ -37,18 +37,37 @@ def main():
         rng.integers(0, 2**30, size=(5120, 20)).astype(np.int32)))
     cat = jax.block_until_ready(jnp.concatenate([a, b], axis=0))
 
-    dt = t_best(lambda: jax.device_get(a))
-    print(f"get single [5120,20]: {dt*1e3:.1f} ms", flush=True)
-    dt = t_best(lambda: jax.device_get([a, b]))
-    print(f"get list of 2: {dt*1e3:.1f} ms", flush=True)
-    dt = t_best(lambda: jax.device_get([a, b, a, b]))
-    print(f"get list of 4: {dt*1e3:.1f} ms", flush=True)
-    dt = t_best(lambda: jax.device_get(cat))
-    print(f"get concat [10240,20]: {dt*1e3:.1f} ms", flush=True)
-
+    # fresh device arrays per rep — jax caches the host copy of an array
+    # after its first device_get, so re-getting the same array is free and
+    # measures nothing
+    inc = jax.jit(lambda x, i: x + i)
     catf = jax.jit(lambda x, y: jnp.concatenate([x, y], axis=0))
-    dt = t_best(lambda: jax.device_get(catf(a, b)))
+    ctr = [0]
+
+    def fresh():
+        ctr[0] += 1
+        return inc(a, ctr[0]), inc(b, ctr[0])
+
+    def t_fresh(get, reps=5):
+        get(*fresh())
+        best = np.inf
+        for _ in range(reps):
+            x, y = fresh()
+            jax.block_until_ready((x, y))
+            t0 = time.perf_counter()
+            get(x, y)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt = t_fresh(lambda x, y: jax.device_get(x))
+    print(f"get single fresh [5120,20]: {dt*1e3:.1f} ms", flush=True)
+    dt = t_fresh(lambda x, y: jax.device_get([x, y]))
+    print(f"get fresh list of 2: {dt*1e3:.1f} ms", flush=True)
+    dt = t_fresh(lambda x, y: jax.device_get([x, y, inc(x, 1), inc(y, 1)]))
+    print(f"get fresh list of 4: {dt*1e3:.1f} ms", flush=True)
+    dt = t_fresh(lambda x, y: jax.device_get(catf(x, y)))
     print(f"concat-on-device + get: {dt*1e3:.1f} ms", flush=True)
+    del cat
     print("done", flush=True)
 
 
