@@ -121,7 +121,13 @@ def phase_pieces(idx):
           f"({NQ*R*w*4/dt/1e9:.0f} GB/s)", flush=True)
 
     # --- 2. merge impls across beams ---
-    for beam in (10, 20, 40, 80, 160, 320, 640, 1280, 2048):
+    # MEASURED (2026-08-17, v5e): merge[sort] 18-120 us/step at beams
+    # 10-160 (681 at 640); merge[path] is 50-150x SLOWER at every beam
+    # (take_along_axis/argmax row selection lowers far worse than the
+    # native two-key sort). The merge-path variant is a dead end on TPU;
+    # MERGE_IMPL stays "sort". Kernel step budget at Q=2048: inline gather
+    # 103 us (489 GB/s, bandwidth-bound) + dists 37 us + merge ~40 us.
+    for beam in (10, 20, 40, 80, 160, 320):
         f_d0 = np.sort(rng.normal(size=(NQ, beam)).astype(np.float32), axis=1)
         f_i0 = rng.integers(0, N, size=(NQ, beam)).astype(np.int32)
         f_e0 = rng.integers(0, 2, size=(NQ, beam)).astype(np.int32)
@@ -129,8 +135,7 @@ def phase_pieces(idx):
         c_d0 = rng.normal(size=(NQ, R)).astype(np.float32)
         args = tuple(jnp.asarray(x) for x in (f_i0, f_d0, f_e0, c_i0, c_d0))
 
-        for name, fn in (("sort", bs._merge_frontier_cands),
-                         ("path", bs._merge_frontier_cands_path)):
+        for name, fn in (("sort", bs._merge_frontier_cands),):
             @functools.partial(jax.jit, static_argnames=("iters",))
             def mg(f_i, f_d, f_e, c_i, c_d, iters, fn=fn):
                 def body(i, st):
@@ -153,7 +158,7 @@ def phase_kernel_ab(idx, queries):
     qpad = jnp.asarray(pad_queries(
         np.asarray(queries[:NQ], np.float32), ps.d, ps.d_pad))
     st = jnp.zeros((NQ,), jnp.int32)
-    for impl in ("sort", "path"):
+    for impl in ("sort",):  # path measured 50-150x slower (see phase_pieces)
         bs.MERGE_IMPL = impl
         bs.batched_beam_search.clear_cache()
         for beam in (10, 20, 40, 80, 160, 320, 640, 1280, 2048):
@@ -182,7 +187,7 @@ def phase_e2e(idx, queries, filters):
     filters6 = np.stack([lo6, lo6 + 2.0**-6], axis=1)
     q6 = queries[:2048]
 
-    for impl in ("sort", "path"):
+    for impl in ("sort",):  # path measured 50-150x slower (see phase_pieces)
         bs.MERGE_IMPL = impl
         bs.batched_beam_search.clear_cache()
         for beam, fm in ((40, 2), (80, 2)):
