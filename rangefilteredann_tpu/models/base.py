@@ -128,7 +128,7 @@ def pow2_classes(widths: np.ndarray, lo: int = MIN_CLASS, hi: int | None = None)
     return cls
 
 
-def batched_range_bruteforce(
+def launch_range_bruteforce(
     data,  # [n, d_pad] jnp
     norms_sq,  # [n] jnp
     queries_padded: np.ndarray,  # [Q, d_pad] f32 host
@@ -137,14 +137,20 @@ def batched_range_bruteforce(
     k: int,
     metric: str,
     norm_col=None,  # fused norm column (PointSet.norm_col), if `data` has one
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Exact k-NN within per-query sorted-index windows.
-
-    Returns (dists [Q, k] f32 shifted-L2, ids [Q, k] int64 sorted-order ids).
-    Empty slots: id EMPTY_ID, dist +inf.
-    """
+    q_rows: np.ndarray | None = None,  # [Q] task -> row of queries_padded:
+    # callers with per-filter task subsets (tree fringes) pass the FULL
+    # stable query matrix + indices so the device cache keys on content
+    # that repeats across calls
+):
+    """Launch phase of batched_range_bruteforce: enqueues every device
+    kernel (async dispatch — returns before any compute finishes) and
+    returns an opaque launch record for finish_range_bruteforce. Splitting
+    launch from fetch lets multi-batch drivers pipeline batch N+1's query
+    upload behind batch N's kernels and pay the ~30 ms tunnel fetch floor
+    once for the whole stream (see PrefilterIndex.batch_search_many)."""
     if norm_col is not None and norm_col < 0:
         norm_col = None  # integer stores carry no fused-norm column
+    rows_of = (lambda s: q_rows[s]) if q_rows is not None else (lambda s: s)
     nq = len(starts)
     d_pad = queries_padded.shape[1]
     widths = np.maximum(ends - starts, 0)
@@ -153,14 +159,14 @@ def batched_range_bruteforce(
     qk = _qkey(queries_padded)
     q_dev = _qcache_get(qk)
 
+    futures = []  # launch every (class, chunk) first, fetch ONCE at the
+    # end: each blocking device_get pays the ~30 ms tunnel dispatch floor,
+    # so per-chunk fetches serialize (CLAUDE.md "Tunnel economics")
     small = widths <= window_gather_max()
     # --- small windows: per-query gather, grouped by pow2 window class ---
     if small.any():
         idx_small = np.nonzero(small)[0]
         classes = pow2_classes(widths[idx_small])
-        futures = []  # launch every (class, chunk) first, fetch ONCE at the
-        # end: each blocking device_get pays the ~30 ms tunnel dispatch floor,
-        # so per-chunk fetches serialize (CLAUDE.md "Tunnel economics")
         for w in np.unique(classes):
             sel = idx_small[classes == w]
             # MIN_CLASS floor: sub-64 batch shapes would each cost a fresh
@@ -173,10 +179,10 @@ def batched_range_bruteforce(
                 chunk = sel[lo : lo + max_q]
                 qp = min(qpad, next_pow2(max(len(chunk), MIN_CLASS)))
                 if q_dev is not None:  # device-resident queries: gather rows
-                    qs_dev = _qcache_rows(q_dev, chunk, qp, d_pad)
+                    qs_dev = _qcache_rows(q_dev, rows_of(chunk), qp, d_pad)
                 else:
                     qs = np.zeros((qp, d_pad), dtype=np.float32)
-                    qs[: len(chunk)] = queries_padded[chunk]
+                    qs[: len(chunk)] = queries_padded[rows_of(chunk)]
                     qs_dev = jnp.asarray(qs)
                 ss = np.zeros((qp,), dtype=np.int32)
                 ee = np.zeros((qp,), dtype=np.int32)
@@ -187,11 +193,6 @@ def batched_range_bruteforce(
                     window=int(w), k=k, metric=metric, norm_col=norm_col,
                 )
                 futures.append((chunk, _pack_di(d, i)))
-        for (chunk, _), packed in zip(futures, jax.device_get(
-                [p for _, p in futures])):  # ONE tunnel round trip for all
-            d, i = _unpack_di(packed, k)
-            out_d[chunk] = d[: len(chunk)]
-            out_i[chunk] = i[: len(chunk)]
     # --- large windows: tiled full scan ---
     if (~small).any():
         sel = np.nonzero(~small)[0]
@@ -199,7 +200,6 @@ def batched_range_bruteforce(
         sel = sel[np.argsort(starts[sel] + ends[sel], kind="stable")]
         on_tpu = jax.default_backend() == "tpu"
         chunk_q = SCAN_CHUNK if len(sel) > SCAN_CHUNK else len(sel)
-        futures = []
         # stream only the lanes holding real dims (d_eff): the fused ||x||^2
         # column region beyond them is dead weight (2x at d=128, where d_pad
         # is 256) — for the MXU, the DMA, AND the query upload (the remote
@@ -216,11 +216,11 @@ def batched_range_bruteforce(
                 qpad = -(-len(chunk) // 1024) * 1024
             qw = w_d if on_tpu else d_pad
             if q_dev is not None:  # device-resident queries: gather rows
-                qs_dev = _qcache_rows(q_dev, chunk, qpad, qw)
+                qs_dev = _qcache_rows(q_dev, rows_of(chunk), qpad, qw)
             else:  # miss: host chunk uploads overlap the previous chunk's
                 # kernel (measured 16% — see SCAN_CHUNK); cache fills at end
                 qs = np.zeros((qpad, qw), dtype=np.float32)
-                qs[: len(chunk)] = queries_padded[chunk, :qw]
+                qs[: len(chunk)] = queries_padded[rows_of(chunk), :qw]
                 qs_dev = jnp.asarray(qs)
             ss = np.zeros((qpad,), dtype=np.int32)
             ee = np.zeros((qpad,), dtype=np.int32)
@@ -241,16 +241,47 @@ def batched_range_bruteforce(
                     jnp.asarray(ee), k=k, metric=metric,
                 )
             futures.append((chunk, _pack_di(d, i)))
-        fetched = jax.device_get([p for _, p in futures])
+    fill_key = qk if q_dev is None else None
+    return (futures, out_d, out_i, k, fill_key, queries_padded)
+
+
+def finish_range_bruteforce(launch) -> Tuple[np.ndarray, np.ndarray]:
+    """Fetch phase: ONE tunnel round trip for every launched chunk, scatter
+    into the output arrays, and fill the device query cache on a miss."""
+    return finish_many_range_bruteforce([launch])[0]
+
+
+def finish_many_range_bruteforce(launches) -> "list[Tuple[np.ndarray, np.ndarray]]":
+    """Fetch MANY launch records in one blocking device_get (one tunnel
+    round trip for the whole stream), scatter each, fill query caches."""
+    flat = [p for (futures, *_rest) in launches for _, p in futures]
+    fetched = iter(jax.device_get(flat))
+    out = []
+    for futures, out_d, out_i, k, fill_key, queries_padded in launches:
         for (chunk, _), packed in zip(futures, fetched):
             d, i = _unpack_di(packed, k)
             out_d[chunk] = d[: len(chunk)]
             out_i[chunk] = i[: len(chunk)]
-    if q_dev is None:
-        # fill the cache LAST: the upload is async (completes behind this
-        # call's return); the next identical batch skips its uploads
-        _qcache_put(qk, queries_padded)
-    return out_d, out_i
+        if fill_key is not None:
+            # fill the cache LAST: the upload is async (completes behind
+            # this call's return); the next identical batch skips uploads
+            _qcache_put(fill_key, queries_padded)
+        out.append((out_d, out_i))
+    return out
+
+
+def batched_range_bruteforce(
+    data, norms_sq, queries_padded, starts, ends, k, metric,
+    norm_col=None, q_rows=None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact k-NN within per-query sorted-index windows (launch + fetch).
+
+    Returns (dists [Q, k] f32 shifted-L2, ids [Q, k] int64 sorted-order ids).
+    Empty slots: id EMPTY_ID, dist +inf.
+    """
+    return finish_range_bruteforce(launch_range_bruteforce(
+        data, norms_sq, queries_padded, starts, ends, k, metric,
+        norm_col=norm_col, q_rows=q_rows))
 
 
 # HBM budget for inline neighbor-vector blocks ([m, R, w] fp32 copies that

@@ -39,7 +39,12 @@ from .vamana import SlabGraph, build_vamana_graph
 # faults: 5120 always, and beams around 2560 intermittently (CLAUDE.md
 # "Known TPU faults"), so the clamp sits strictly below the smallest
 # ambiguously-faulting beam until the Mosaic fault is root-caused.
-# Doubling loops clamp to this; queries needing more belong on the trees.
+# Queries whose doubling exhausts this cap while qp.postfiltering_max_beam
+# (reference default 10000, wrapper.py:334-355) allows more do NOT return
+# partial results: they take the exact-scan tail in doubling_postfilter —
+# an exact brute force over their label window, which strictly dominates
+# the giant-beam search the reference would run (better results, and the
+# failing queries have narrow windows where the scan is cheap).
 MAX_SAFE_BEAM = 2048
 
 # Launch each round-1 beam class's final_beam_multiply pass speculatively
@@ -133,9 +138,12 @@ def doubling_postfilter(
     nq = len(starts)
     k = qp.k
     # Safety clamp: beam-search kernels at beam >= ~5120 crash the TPU worker
-    # (Mosaic kernel fault, see CLAUDE.md "Known TPU faults"); any query whose
-    # doubling reaches this cap is in a regime the trees serve 100x faster.
+    # (Mosaic kernel fault, see CLAUDE.md "Known TPU faults"). Queries whose
+    # doubling exhausts the clamp while the caller's postfiltering_max_beam
+    # allows more take the exact-scan tail below instead of a giant beam.
     max_beam = min(qp.postfiltering_max_beam, MAX_SAFE_BEAM)
+    exact_tail = qp.postfiltering_max_beam > max_beam
+    capped = np.zeros(nq, dtype=bool)  # done by cap, not by >= k survivors
     # do-while semantics: at least one search always runs, even when the
     # requested beam meets/exceeds the cap (then it runs once AT the cap) —
     # ref loop postfilter_vamana.h:161-172 always searches before testing
@@ -231,7 +239,9 @@ def doubling_postfilter(
             done[sel[enough]] = True
             grow = sel[~enough]
             cur_beam[grow] *= 2
-            done[grow] |= cur_beam[grow] >= max_beam
+            hit_cap = cur_beam[grow] >= max_beam
+            done[grow] |= hit_cap
+            capped[grow[hit_cap]] = True
             if stats is not None:
                 ids_for = stat_ids[sel_r] if stat_ids is not None else sel_r
                 stat_buf.append(
@@ -272,7 +282,9 @@ def doubling_postfilter(
             done[sel[enough]] = True
             grow = sel[~enough]
             cur_beam[grow] *= 2
-            done[grow] |= cur_beam[grow] >= max_beam
+            hit_cap = cur_beam[grow] >= max_beam
+            done[grow] |= hit_cap
+            capped[grow[hit_cap]] = True
             if b in spec:  # speculative final for THIS beam class (same sel)
                 fb, _, s_res = spec[b]
                 counts_s, ti_s, td_s = spec_fetched[b]
@@ -291,6 +303,30 @@ def doubling_postfilter(
                                  np.asarray(ti_s)[:q], np.asarray(td_s)[:q],
                                  s_res)
         first_round = False
+    # --- exact-scan tail: queries that exhausted the TPU-safe beam cap while
+    # qp.postfiltering_max_beam allows more get the EXACT top-k of their
+    # label window via the brute-force scan. The reference would keep
+    # doubling toward max_beam=10000 (postfilter_vamana.h:161-181) and still
+    # return approximate results; the scan is both cheaper on TPU (the
+    # failing queries have narrow windows) and exact, so recall strictly
+    # dominates the giant-beam search this replaces (MAX_SAFE_BEAM note). ---
+    if exact_tail and capped.any():
+        from .base import batched_range_bruteforce
+
+        sel = np.nonzero(capped)[0]
+        bf_d, bf_i = batched_range_bruteforce(
+            ps.data, ps.norms_sq, queries_padded,
+            win_lo[sel].astype(np.int64), win_hi[sel].astype(np.int64),
+            k, metric, norm_col=ps.norm_col if ps.norm_col >= 0 else None,
+            q_rows=rows_of(sel) if q_rows is not None else sel,
+        )
+        res_i[sel] = bf_i
+        res_d[sel] = bf_d
+        cur_beam[sel] = -1  # exact: skip the final multiply pass
+        if stats is not None:
+            ids_for = stat_ids[sel] if stat_ids is not None else sel
+            stats.increment_dist(
+                ids_for, np.maximum(win_hi[sel] - win_lo[sel], 0))
     # final pass at beam * final_beam_multiply (ref: postfilter_vamana.h:173-181)
     # for queries whose speculative final didn't apply (doubled, or fm == 1)
     served = cur_beam < 0

@@ -66,3 +66,43 @@ class PrefilterIndex:
         return finalize_output(
             dists, ids, self._decoding, q_norms, self._ps.metric, pad_id=-1
         )
+
+    def batch_search_many(
+        self,
+        batches: Sequence[Tuple[np.ndarray, Sequence[Tuple[float, float]]]],
+        query_params: QueryParams,
+    ) -> "list[Tuple[np.ndarray, np.ndarray]]":
+        """Pipelined search over a stream of (queries, filters) batches.
+
+        Launches every batch's kernels before fetching any result, so batch
+        N+1's query upload rides behind batch N's compute and the whole
+        stream pays ONE blocking fetch round trip. On the remote-tunnel
+        deployment this is the throughput mode: per-batch upload (~50 ms)
+        and fetch (~40 ms) costs that serialize in repeated batch_search
+        calls overlap here (see CLAUDE.md "Tunnel economics").
+        Returns [(ids, dists)] in batch order, same per-batch contract as
+        batch_search.
+        """
+        from .base import finish_many_range_bruteforce, launch_range_bruteforce
+
+        k = query_params.k
+        kept_queries = []
+        launches = []
+        for queries, filters in batches:
+            queries = np.asarray(queries, dtype=np.float32)
+            filters = np.asarray(filters, dtype=np.float64)
+            qp = pad_queries(queries, self._ps.d, self._ps.d_pad)
+            starts = first_geq(self._labels_sorted, filters[:, 0])
+            ends = first_geq(self._labels_sorted, filters[:, 1])
+            kept_queries.append(queries)
+            launches.append(launch_range_bruteforce(
+                self._ps.data, self._ps.norms_sq, qp, starts, ends, k,
+                self._ps.metric, norm_col=self._ps.norm_col))
+        out = []
+        for queries, (dists, ids) in zip(
+                kept_queries, finish_many_range_bruteforce(launches)):
+            q_norms = np.einsum("qd,qd->q", queries, queries)
+            out.append(finalize_output(
+                dists, ids, self._decoding, q_norms, self._ps.metric,
+                pad_id=-1))
+        return out

@@ -658,8 +658,8 @@ class RangeFilterTreeIndex:
         )
         if len(b_qi):
             b_d, b_i = batched_range_bruteforce(
-                self._ps.data, self._ps.norms_sq, qpad[b_qi], b_s, b_e, k,
-                self._ps.metric, norm_col=self._ps.norm_col,
+                self._ps.data, self._ps.norms_sq, qpad, b_s, b_e, k,
+                self._ps.metric, norm_col=self._ps.norm_col, q_rows=b_qi,
             )
         else:
             b_i = np.zeros((0, k), dtype=np.int64)

@@ -15,6 +15,12 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache (keyed by platform, shared with bench/TPU runs):
+# the box has ONE cpu core, so recompiling the beam/vamana kernels every
+# suite run dominates wall time; warm runs skip straight to execution
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np
 import pytest

@@ -134,6 +134,41 @@ def test_postfilter_beam_at_clamp_still_searches(rng, gt_fn, monkeypatch):
     assert recall > 0.5, f"clamped-beam recall {recall}"
 
 
+def test_postfilter_exact_tail_beyond_safe_beam(rng, gt_fn, monkeypatch):
+    """Queries whose doubling exhausts MAX_SAFE_BEAM while
+    postfiltering_max_beam allows more must take the exact-scan tail and
+    return the EXACT window top-k (closing the reference's max_beam=10000
+    semantics, postfilter_vamana.h:161-181, with strictly better results)."""
+    from rangefilteredann_tpu.models import postfilter_vamana as pv
+
+    monkeypatch.setattr(pv, "MAX_SAFE_BEAM", 16)
+    n, d, k = 1500, 16, 10
+    points = rng.normal(size=(n, d)).astype(np.float32)
+    labels = rng.uniform(size=n)
+    idx = PostfilterVamanaIndex(points, labels, BuildParams(R=16, L=32, alpha=1.2))
+    nq = 24
+    queries = rng.normal(size=(nq, d)).astype(np.float32)
+    # windows narrower than k points: doubling can NEVER satisfy, so every
+    # query hits the cap and takes the exact tail
+    starts_f = rng.uniform(0.05, 0.9, size=nq)
+    width = (k - 2) / n  # ~8 points per window
+    filters = np.stack([starts_f, starts_f + width], axis=1)
+    qp = build_query_params(k, 10, final_beam_multiply=2)  # max_beam 10000
+    ids, dists = idx.batch_search(queries, filters, nq, qp)
+    gt_ids, gt_d = gt_fn(points, labels, queries, filters, k, "l2")
+    for i in range(nq):
+        want = set(gt_ids[i][gt_ids[i] >= 0].astype(int))
+        got = set(ids[i][np.isfinite(
+            np.where(dists[i] < 3e38, dists[i], np.inf))].astype(int))
+        assert got == want, f"query {i}: {got} vs {want}"
+    # negative control: with the caller's cap equal to the clamp, the tail
+    # must NOT run (reference parity: partial approximate results are legal)
+    qp2 = build_query_params(k, 10, final_beam_multiply=2,
+                             postfiltering_max_beam=16)
+    ids2, _ = idx.batch_search(queries, filters, nq, qp2)
+    assert ids2.shape == (nq, k)
+
+
 def test_padded_slab_build_identical(rng):
     """build_vamana_graph with pad_rows/insert_pad must produce EXACTLY the
     same graph on the real rows as the unpadded build (pad rows are isolated)
