@@ -40,16 +40,21 @@ def make_data(write_cache=False):
     rng = np.random.default_rng(3)
     centers = rng.integers(30, 225, size=(1000, D)).astype(np.uint8)
     data = np.empty((N, D), dtype=np.uint8)
+    # int16 noise draws + in-place ops: the default int64 stream allocated
+    # ~12 GB of transients per 1M chunk and spent hours in page-zeroing on
+    # this 1-core box; int16 in-place generates 12M x 512 in minutes
     for lo in range(0, N, 1_000_000):
         hi = lo + 1_000_000
         a = rng.integers(0, 1000, hi - lo)
-        noise = rng.integers(-25, 26, size=(hi - lo, D))
-        data[lo:hi] = np.clip(
-            centers[a].astype(np.int16) + noise, 0, 255).astype(np.uint8)
+        chunk = centers[a].astype(np.int16)
+        chunk += rng.integers(-25, 26, size=(hi - lo, D), dtype=np.int16)
+        np.clip(chunk, 0, 255, out=chunk)
+        data[lo:hi] = chunk.astype(np.uint8)
     labels = rng.uniform(size=N)
     queries = np.clip(
         centers[rng.integers(0, 1000, NQ)].astype(np.int16)
-        + rng.integers(-25, 26, size=(NQ, D)), 0, 255).astype(np.uint8)
+        + rng.integers(-25, 26, size=(NQ, D), dtype=np.int16),
+        0, 255).astype(np.uint8)
     if write_cache:
         os.makedirs(CACHE_DIR, exist_ok=True)
         for n, arr in zip(names, (data, labels, queries)):
