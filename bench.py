@@ -110,7 +110,7 @@ def main():
     # construction; the reference's methodology takes the best method per
     # recall threshold, ref: experiments/create_table.py:5-37) ---
     dt = best_of(lambda: gt_idx.batch_search(
-        queries, filters, NQ, build_query_params(K, K)), reps=5)
+        queries, filters, NQ, build_query_params(K, K)), reps=7)
     log(f"prefilter (exact): recall=1.0 qps={NQ / dt:.0f}")
     record("prefilter", NQ / dt, 1.0, "exact")
 

@@ -132,10 +132,15 @@ def _scan_kernel(blk_start_ref, blk_count_ref, starts_ref, ends_ref, q_ref,
         tile_idx = blk_start_ref[b] + t
         if data_ref.dtype in (jnp.int8, jnp.uint8):
             # native integer storage: bf16 casts are exact for byte values,
-            # one MXU pass (see ops/distances.mxu_operands)
+            # one MXU pass (see ops/distances.mxu_operands). Mosaic has no
+            # direct uint8->bf16 cast (probed: int8->bf16 yes, uint8 no) —
+            # unsigned hops through int16, which is exact and fuses.
+            blk = data_ref[:]
+            if blk.dtype == jnp.uint8:
+                blk = blk.astype(jnp.int16)
             ip = jnp.dot(
                 q_ref[:].astype(jnp.bfloat16),
-                data_ref[:].astype(jnp.bfloat16).T,
+                blk.astype(jnp.bfloat16).T,
                 preferred_element_type=jnp.float32,
             )
         else:

@@ -15,6 +15,7 @@ buckets are contiguous slices because points are stored label-sorted.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -129,20 +130,8 @@ def make_pointset(
     # unreachable. PointSet.n stays the REAL count.
     n_rows = -(-n // SCAN_ROW_PAD) * SCAN_ROW_PAD
     if points.dtype in (np.int8, np.uint8):
-        dp = pad_dim(max(d, 1))
-        host = np.zeros((n_rows, dp), dtype=points.dtype)
-        host[:n, :d] = points
-        # exact integer norms, CHUNKED: a whole-array float64 square is a
-        # n*dp*8-byte transient (49 GB at 12M x 512 — it stalled the 12M
-        # demo for minutes); int64 chunks keep the peak at ~0.5 GB
-        norms = np.zeros(n_rows, dtype=np.float32)
-        step = 1 << 20
-        for lo in range(0, n, step):
-            blk = host[lo : lo + step].astype(np.int64)
-            norms[lo : lo + step] = (blk * blk).sum(axis=1).astype(np.float32)
-        return PointSet(data=jnp.asarray(host), norms_sq=jnp.asarray(norms),
-                        n=n, d=d, metric=metric, norm_col=-1)
-    dp = pad_dim(d + 1)  # + 1 slot for the fused ||x||^2 column
+        return _make_int_pointset(points, metric, n, d, n_rows)
+    dp = pad_dim(d + 1)  # + 1 slot for the fused ||x||^2 column (float path)
     host = np.zeros((n_rows, dp), dtype=np.float32)
     host[:n, :d] = points.astype(np.float32)
     norms = np.einsum("nd,nd->n", host, host).astype(np.float32)
@@ -151,6 +140,42 @@ def make_pointset(
     data = jnp.asarray(host, dtype=compute_dtype)
     return PointSet(data=data, norms_sq=jnp.asarray(norms), n=n, d=d,
                     metric=metric, norm_col=norm_col)
+
+
+def _make_int_pointset(points, metric, n: int, d: int, n_rows: int) -> PointSet:
+    """Streaming ingest for native int8/uint8 stores (ref variants
+    euclidian_point.h:68-112): the store is assembled ON DEVICE in ~0.5 GB
+    chunks with exact int32 square-sums per chunk, so the host never
+    materializes a padded copy or any wide transient. (The previous host
+    path wrote ~18 GB of fresh pages at 12M x 512 — ~30 min of kernel
+    page-zeroing on a 1-core host; this path's host cost is the upload
+    stream itself.) Norms: squares <= 255^2 and d <= 512-term sums fit
+    int32 exactly; the final cast to float32 rounds identically to the old
+    int64 host path."""
+    dp = pad_dim(max(d, 1))
+    dtype = jnp.int8 if points.dtype == np.int8 else jnp.uint8
+    data = jnp.zeros((n_rows, dp), dtype=dtype)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def _put(buf, chunk, lo):
+        c32 = chunk.astype(jnp.int32)
+        nrm = (c32 * c32).sum(axis=1).astype(jnp.float32)
+        if chunk.shape[1] < dp:
+            chunk = jnp.pad(chunk, ((0, 0), (0, dp - chunk.shape[1])))
+        return jax.lax.dynamic_update_slice(buf, chunk, (lo, 0)), nrm
+
+    norms = np.zeros(n_rows, dtype=np.float32)
+    step = 1 << 19  # 512k rows: ~0.25 GB per upload at d=512
+    nrm_futs = []  # (lo, len, device future): ONE blocking fetch at the end
+    for lo in range(0, n, step):
+        chunk = np.ascontiguousarray(points[lo : lo + step])
+        data, nrm = _put(data, jnp.asarray(chunk), jnp.int32(lo))
+        nrm_futs.append((lo, len(chunk), nrm))
+    for (lo, ln, _), nrm in zip(
+            nrm_futs, jax.device_get([f for _, _, f in nrm_futs])):
+        norms[lo : lo + ln] = nrm[:ln]
+    return PointSet(data=data, norms_sq=jnp.asarray(norms), n=n, d=d,
+                    metric=metric, norm_col=-1)
 
 
 def pad_queries(queries: np.ndarray, d: int, d_padded: int) -> np.ndarray:
@@ -179,6 +204,14 @@ def sort_by_labels(
         raise ValueError(
             "filter (label) array must have the same number of elements as the points array"
         )
+    # fast path: already label-sorted input (common for generated / re-saved
+    # protocol datasets). A stable argsort of a sorted array is the identity
+    # even with ties, so the 2x-store permutation gather — minutes of host
+    # page-zeroing at 10M+ points on a weak host — is pure waste; return the
+    # caller's array un-copied (every consumer treats it as read-only).
+    if len(labels) and bool((labels[:-1] <= labels[1:]).all()):
+        order = np.arange(len(labels), dtype=np.int64)
+        return points, labels.astype(np.float64), order
     order = np.argsort(labels, kind="stable")
     return points[order], labels[order].astype(np.float64), order.astype(np.int64)
 
