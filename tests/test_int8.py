@@ -124,3 +124,21 @@ def test_window_ann_int_variants_build():
         (rng.integers(-100, 100, size=(400, 16))).astype(np.int8), labels,
         BuildParams(R=8, L=16, alpha=1.2, cache_path=""))
     assert idx2._ps.data.dtype == jnp.int8
+
+
+def test_streaming_ingest_matches_reference_layout(rng):
+    """The device-chunk-assembled integer store must equal the padded host
+    layout bit-for-bit, and its norms the exact integer square-sums (incl.
+    values near the fp32 rounding edge at d=512)."""
+    from rangefilteredann_tpu.utils.data import make_pointset
+
+    n, d = 700, 512  # d=512: norms ~3e7, past 2^24 (fp32 rounding edge)
+    pts = rng.integers(0, 256, size=(n, d)).astype(np.uint8)
+    ps = make_pointset(pts, "Euclidian")
+    host = np.asarray(ps.data)
+    assert host.dtype == np.uint8
+    assert np.array_equal(host[:n, :d], pts)
+    assert (host[n:] == 0).all() and (host[:, d:] == 0).all()
+    want = (pts.astype(np.int64) ** 2).sum(axis=1).astype(np.float32)
+    assert np.array_equal(np.asarray(ps.norms_sq)[:n], want)
+    assert (np.asarray(ps.norms_sq)[n:] == 0).all()

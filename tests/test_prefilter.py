@@ -79,3 +79,46 @@ def test_prefilter_large_window_uses_scan(rng, gt_fn):
     gt_ids, gt_d = gt_fn(points, labels, queries, filters, 10, "l2")
     for qi in range(8):
         assert np.allclose(np.sort(dists[qi]), np.sort(gt_d[qi]), rtol=1e-4, atol=1e-2)
+
+
+def test_batch_search_many_matches_per_batch(rng):
+    """Pipelined multi-batch prefilter search must be bit-identical to
+    per-batch calls (mixed small/large windows across batches)."""
+    points, labels = make_dataset(rng, n=3000)
+    index = PrefilterIndex(points, labels)
+    qp = build_query_params(10, 10)
+    batches = []
+    for s in range(3):
+        r = np.random.default_rng(50 + s)
+        q = r.normal(size=(64, 24)).astype(np.float32)
+        st = r.uniform(0, 0.5, size=64)
+        wid = np.where(r.uniform(size=64) < 0.5, 0.002, 0.4)
+        batches.append((q, np.stack([st, st + wid], 1)))
+    singles = [index.batch_search(q, f, 64, qp) for q, f in batches]
+    many = index.batch_search_many(batches, qp)
+    for (i1, d1), (i2, d2) in zip(singles, many):
+        assert np.array_equal(i1, i2)
+        assert np.array_equal(d1, d2)
+
+
+def test_sorted_labels_fast_path_identity(rng):
+    """Pre-sorted labels (incl. ties) take the identity fast path; results
+    must be identical to a shuffled copy of the same dataset."""
+    n = 1200
+    points = rng.normal(size=(n, 24)).astype(np.float32)
+    labels = np.sort(np.round(rng.uniform(size=n), 2))  # sorted WITH ties
+    queries = rng.normal(size=(16, 24)).astype(np.float32)
+    st = rng.uniform(0, 0.6, size=16)
+    filters = np.stack([st, st + 0.3], 1)
+    qp = build_query_params(10, 10)
+    a_ids, a_d = PrefilterIndex(points, labels).batch_search(
+        queries, filters, 16, qp)
+    perm = rng.permutation(n)
+    b_ids, b_d = PrefilterIndex(points[perm], labels[perm]).batch_search(
+        queries, filters, 16, qp)
+    # distances identical; valid ids map back through the permutation
+    assert np.array_equal(a_d, b_d)
+    valid = a_d < np.finfo(np.float32).max
+    assert np.array_equal(
+        a_ids[valid].astype(np.int64),
+        perm[b_ids[valid].astype(np.int64)])
