@@ -126,14 +126,15 @@ def main():
         import jax.numpy as jnp
         from rangefilteredann_tpu.ops.pallas_scan import (
             host_max_tiles, pallas_scan_bruteforce)
-        from rangefilteredann_tpu.utils.data import first_geq, pad_queries
+        from rangefilteredann_tpu.utils.data import (
+            first_geq, pad_dim, pad_queries)
 
         ps = gt_idx._ps
         labels_sorted = gt_idx._labels_sorted
         ss = first_geq(labels_sorted, filters[:, 0]).astype(np.int32)
         ee = first_geq(labels_sorted, filters[:, 1]).astype(np.int32)
         order = np.argsort(ss + ee, kind="stable")
-        w_d = 128 * ((ps.d + 127) // 128)
+        w_d = pad_dim(ps.d)  # same lane rule as launch_range_bruteforce
         qs = pad_queries(queries, ps.d, ps.d_pad)[order, :w_d]
         ss, ee = ss[order], ee[order]
         mt = host_max_tiles(ss, ee, ps.n, w_d=w_d)

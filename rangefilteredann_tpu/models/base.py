@@ -57,7 +57,8 @@ SCAN_CHUNK = 5120
 from collections import OrderedDict as _OrderedDict
 
 _QCACHE: "_OrderedDict[tuple, jax.Array]" = _OrderedDict()
-_QCACHE_MAX = 8  # ~10 MB per 10k-query entry; tree paths add subset entries
+_QCACHE_MAX = 8  # ~10 MB per 10k-query entry; one entry per distinct batch
+# (tree paths pass the FULL matrix + q_rows indirection, no subset entries)
 
 
 def _qkey(queries_padded: np.ndarray):
@@ -82,6 +83,23 @@ def _qcache_put(key, queries_padded: np.ndarray) -> None:
     _QCACHE[key] = q_dev
     while len(_QCACHE) > _QCACHE_MAX:
         _QCACHE.popitem(last=False)
+
+
+def qcache_fill(queries_padded: np.ndarray, key=None):
+    """Content key + device-resident padded query matrix, uploading on miss.
+
+    Callers that fan one batch out over many launches (tree plans touch
+    several rows; doubling launches search + speculative passes) compute the
+    key ONCE per batch and thread it down — the crc32 + float sum over a
+    ~5 MB matrix costs host milliseconds, and per-row recomputation added up
+    to the same order as the upload the cache exists to avoid."""
+    if key is None:
+        key = _qkey(queries_padded)
+    q_dev = _qcache_get(key)
+    if q_dev is None:
+        _qcache_put(key, queries_padded)
+        q_dev = _qcache_get(key)
+    return key, q_dev
 
 
 def _qcache_rows(q_dev, idx: np.ndarray, qpad: int, width: int):
@@ -141,6 +159,8 @@ def launch_range_bruteforce(
     # callers with per-filter task subsets (tree fringes) pass the FULL
     # stable query matrix + indices so the device cache keys on content
     # that repeats across calls
+    q_key=None,  # precomputed _qkey(queries_padded), for callers that
+    # launch several phases against one batch (avoids re-hashing ~5 MB)
 ):
     """Launch phase of batched_range_bruteforce: enqueues every device
     kernel (async dispatch — returns before any compute finishes) and
@@ -156,7 +176,7 @@ def launch_range_bruteforce(
     widths = np.maximum(ends - starts, 0)
     out_d = np.full((nq, k), np.inf, dtype=np.float32)
     out_i = np.full((nq, k), EMPTY_ID, dtype=np.int64)
-    qk = _qkey(queries_padded)
+    qk = q_key if q_key is not None else _qkey(queries_padded)
     q_dev = _qcache_get(qk)
 
     futures = []  # launch every (class, chunk) first, fetch ONCE at the
@@ -262,9 +282,13 @@ def finish_many_range_bruteforce(launches) -> "list[Tuple[np.ndarray, np.ndarray
             d, i = _unpack_di(packed, k)
             out_d[chunk] = d[: len(chunk)]
             out_i[chunk] = i[: len(chunk)]
-        if fill_key is not None:
+        if fill_key is not None and _qcache_get(fill_key) is None:
             # fill the cache LAST: the upload is async (completes behind
-            # this call's return); the next identical batch skips uploads
+            # this call's return); the next identical batch skips uploads.
+            # Re-check before putting: a batch_search_many stream may carry
+            # the same query batch N times, and every launch recorded a miss
+            # before any fill ran — without the check each would enqueue a
+            # duplicate full-matrix upload over the ~110 MB/s tunnel.
             _qcache_put(fill_key, queries_padded)
         out.append((out_d, out_i))
     return out
@@ -272,7 +296,7 @@ def finish_many_range_bruteforce(launches) -> "list[Tuple[np.ndarray, np.ndarray
 
 def batched_range_bruteforce(
     data, norms_sq, queries_padded, starts, ends, k, metric,
-    norm_col=None, q_rows=None,
+    norm_col=None, q_rows=None, q_key=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Exact k-NN within per-query sorted-index windows (launch + fetch).
 
@@ -281,7 +305,7 @@ def batched_range_bruteforce(
     """
     return finish_range_bruteforce(launch_range_bruteforce(
         data, norms_sq, queries_padded, starts, ends, k, metric,
-        norm_col=norm_col, q_rows=q_rows))
+        norm_col=norm_col, q_rows=q_rows, q_key=q_key))
 
 
 # HBM budget for inline neighbor-vector blocks ([m, R, w] fp32 copies that

@@ -128,6 +128,9 @@ def doubling_postfilter(
     q_rows: Optional[np.ndarray] = None,  # [Q] task -> row of queries_padded;
     # lets tree callers pass the FULL query matrix (one device-cache entry)
     # with per-task indirection instead of a per-row subset copy
+    q_key=None,  # precomputed base._qkey(queries_padded): tree plans call
+    # this once per ROW — re-hashing the same ~5 MB matrix each time costs
+    # host milliseconds per row for nothing
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Batched beam-doubling postfilter query (ref: postfilter_vamana.h:141-188).
 
@@ -181,13 +184,9 @@ def doubling_postfilter(
     # chunked prefilter scan, which fills its cache at call end).
     q_dev = None
     if mesh is None:
-        from .base import _qcache_get, _qcache_put, _qkey
+        from .base import qcache_fill
 
-        qk = _qkey(queries_padded)
-        q_dev = _qcache_get(qk)
-        if q_dev is None:
-            _qcache_put(qk, queries_padded)
-            q_dev = _qcache_get(qk)
+        q_key, q_dev = qcache_fill(queries_padded, q_key)
 
     def _search_and_filter(sel, b, collect_stats=True):
         """Enqueue one dense search + window filter; NO blocking fetch —
@@ -318,7 +317,7 @@ def doubling_postfilter(
             ps.data, ps.norms_sq, queries_padded,
             win_lo[sel].astype(np.int64), win_hi[sel].astype(np.int64),
             k, metric, norm_col=ps.norm_col if ps.norm_col >= 0 else None,
-            q_rows=rows_of(sel) if q_rows is not None else sel,
+            q_rows=rows_of(sel) if q_rows is not None else sel, q_key=q_key,
         )
         res_i[sel] = bf_i
         res_d[sel] = bf_d

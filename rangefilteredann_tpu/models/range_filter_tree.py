@@ -299,7 +299,7 @@ class RangeFilterTreeIndex:
     # -------------------------------------------------------------- execution
     def _run_single_shot(self, qis, rows, buckets, beams, queries_padded, k,
                          stats=None, degree_limit=0, cut=1.35,
-                         limit=10_000_000):
+                         limit=10_000_000, q_key=None):
         """Dense batched single-shot bucket searches, grouped by (row, beam).
 
         Single-shot is the collapsed form of the leaf doubling query when the
@@ -316,15 +316,11 @@ class RangeFilterTreeIndex:
         # enqueue every (row, beam) group first, fetch ONCE: each blocking
         # device_get costs a ~30 ms tunnel dispatch floor, and a fenwick plan
         # routinely touches several rows per batch
-        from .base import _qcache_get, _qcache_put, _qcache_rows, _qkey
+        from .base import _qcache_rows, qcache_fill
 
-        qk = _qkey(queries_padded)
-        q_dev = _qcache_get(qk)
-        if q_dev is None:
-            # one upload serves every (row, beam) group's gathered block —
-            # fenwick tasks repeat queries across groups (models/base cache)
-            _qcache_put(qk, queries_padded)
-            q_dev = _qcache_get(qk)
+        # one upload serves every (row, beam) group's gathered block —
+        # fenwick tasks repeat queries across groups (models/base cache)
+        _, q_dev = qcache_fill(queries_padded, q_key)
         launches = []
         for r in np.unique(rows):
             g = self._res.touch(r)
@@ -362,7 +358,7 @@ class RangeFilterTreeIndex:
         return out_i, out_d
 
     def _run_doubling(self, qis, rows, buckets, win_lo, win_hi,
-                      queries_padded, q_norms, qp, stats=None):
+                      queries_padded, q_norms, qp, stats=None, q_key=None):
         """Beam-doubling bucket tasks grouped by row."""
         t_count = len(qis)
         k = qp.k
@@ -379,7 +375,7 @@ class RangeFilterTreeIndex:
                 self._ps, g, queries_padded, q_norms[qis[sel]],
                 starts, win_lo[sel], win_hi[sel], qp, self._ps.metric,
                 stats=stats, stat_ids=qis[sel], mesh=self._mesh,
-                q_rows=qis[sel],
+                q_rows=qis[sel], q_key=q_key,
             )
             out_i[sel], out_d[sel] = ids, dists
         return out_i, out_d
@@ -649,17 +645,25 @@ class RangeFilterTreeIndex:
             (b_qi, b_s, b_e) = plan
 
         # ---- execute the three phases as dense batches ----
+        # hash the padded batch ONCE; every phase (and every row inside the
+        # doubling phase) reuses the key instead of re-checksumming ~5 MB
+        from .base import _qkey
+
+        q_key = _qkey(qpad)
         s_i, s_d = self._run_single_shot(
             s_qi, s_row, s_bkt, s_beam, qpad, k, stats=stats,
             degree_limit=qp.degree_limit, cut=qp.cut, limit=qp.limit,
+            q_key=q_key,
         )
         d_i, d_d = self._run_doubling(
-            d_qi, d_row, d_bkt, d_wlo, d_whi, qpad, q_norms, qp, stats=stats
+            d_qi, d_row, d_bkt, d_wlo, d_whi, qpad, q_norms, qp, stats=stats,
+            q_key=q_key,
         )
         if len(b_qi):
             b_d, b_i = batched_range_bruteforce(
                 self._ps.data, self._ps.norms_sq, qpad, b_s, b_e, k,
                 self._ps.metric, norm_col=self._ps.norm_col, q_rows=b_qi,
+                q_key=q_key,
             )
         else:
             b_i = np.zeros((0, k), dtype=np.int64)

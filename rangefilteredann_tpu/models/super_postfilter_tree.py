@@ -258,6 +258,9 @@ class SuperOptimizedPostfilterTree:
 
         out_i = np.full((num_queries, k), int(EMPTY_ID), dtype=np.int64)
         out_d = np.full((num_queries, k), np.inf, dtype=np.float32)
+        from .base import _qkey
+
+        q_key = _qkey(qpad)  # hash once; reused by every per-row call
         for r in np.unique(rows[rows >= 0]):
             sel = np.nonzero(rows == r)[0]
             g = self._res.touch(r)
@@ -266,7 +269,7 @@ class SuperOptimizedPostfilterTree:
                 self._ps, g, qpad, q_norms[sel], starts,
                 lo_idx[sel].astype(np.int64), hi_incl[sel].astype(np.int64),
                 qp, self._ps.metric, stats=stats, stat_ids=sel,
-                mesh=self._mesh, q_rows=sel,
+                mesh=self._mesh, q_rows=sel, q_key=q_key,
             )
             out_i[sel], out_d[sel] = ids, dists
 

@@ -40,7 +40,10 @@ from .topk import EMPTY_ID
 
 # Frontier-merge implementation for the narrow-candidate query path:
 # "sort" (single two-key lax.sort) or "path" (merge-path ranks, sort-free).
-# Read at trace time; parity is test-enforced (tests/test_beam_search.py).
+# Read ONCE at import — setting RFANN_MERGE after `import rangefilteredann_tpu`
+# has no effect (A/B harnesses must set it before the interpreter imports the
+# package, as tools/exp_beam.py does via subprocess env). Parity is
+# test-enforced (tests/test_beam_search.py).
 MERGE_IMPL = os.environ.get("RFANN_MERGE", "sort")
 
 

@@ -18,8 +18,10 @@ jax.config.update("jax_platforms", "cpu")
 # persistent compile cache (keyed by platform, shared with bench/TPU runs):
 # the box has ONE cpu core, so recompiling the beam/vamana kernels every
 # suite run dominates wall time; warm runs skip straight to execution
-os.makedirs("/root/repo/.jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+_cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np
