@@ -62,10 +62,28 @@ _QCACHE_MAX = 8  # ~10 MB per 10k-query entry; one entry per distinct batch
 
 
 def _qkey(queries_padded: np.ndarray):
-    import zlib
+    # blake2b of the raw bytes (~5 ms on a 5 MB batch): a collision would
+    # silently search the WRONG cached queries, so this is a correctness-
+    # grade key, not a perf heuristic — crc32+sum (rounds 1-2) was
+    # engineerable. The shape rides along so callers passing a precomputed
+    # key can be cross-checked cheaply (see _check_qkey).
+    import hashlib
 
     a = np.ascontiguousarray(queries_padded)
-    return (a.shape, zlib.crc32(memoryview(a)), float(a.sum(dtype=np.float64)))
+    return (a.shape, hashlib.blake2b(memoryview(a), digest_size=16).digest())
+
+
+def _check_qkey(q_key, queries_padded: np.ndarray):
+    """Guard for caller-supplied precomputed keys: a key computed from a
+    DIFFERENT matrix than queries_padded would gather wrong query rows from
+    the device cache. The shape component catches the likely misuse
+    (stale key from another batch) at O(1) cost."""
+    if q_key is not None and tuple(q_key[0]) != queries_padded.shape:
+        raise ValueError(
+            f"q_key was computed for shape {tuple(q_key[0])} but "
+            f"queries_padded has shape {queries_padded.shape} — "
+            "precomputed cache keys must match the batch they key")
+    return q_key
 
 
 def _qcache_get(key):
@@ -95,6 +113,8 @@ def qcache_fill(queries_padded: np.ndarray, key=None):
     to the same order as the upload the cache exists to avoid."""
     if key is None:
         key = _qkey(queries_padded)
+    else:
+        _check_qkey(key, queries_padded)
     q_dev = _qcache_get(key)
     if q_dev is None:
         _qcache_put(key, queries_padded)
@@ -176,7 +196,8 @@ def launch_range_bruteforce(
     widths = np.maximum(ends - starts, 0)
     out_d = np.full((nq, k), np.inf, dtype=np.float32)
     out_i = np.full((nq, k), EMPTY_ID, dtype=np.int64)
-    qk = q_key if q_key is not None else _qkey(queries_padded)
+    qk = (_check_qkey(q_key, queries_padded) if q_key is not None
+          else _qkey(queries_padded))
     q_dev = _qcache_get(qk)
 
     futures = []  # launch every (class, chunk) first, fetch ONCE at the

