@@ -123,6 +123,7 @@ class RangeFilterTreeIndex:
         n = self._ps.n
         self._offsets = build_offset_rows(n, self._cutoff, self._split)
         self._mesh = None
+        self._sharded = {}  # row -> parallel.sharded.ShardedGraphRow
         from .base import cache_fingerprint
 
         self._fp = cache_fingerprint(self._labels_sorted, pts_sorted)
@@ -182,12 +183,36 @@ class RangeFilterTreeIndex:
                                     fingerprint=self._fp)
         return g
 
-    def shard(self, mesh) -> "RangeFilterTreeIndex":
-        """Query-shard over a device Mesh (point store + every row's
-        adjacency replicated; per-query batches shard on the mesh axis)."""
-        from ..parallel.sharded import replicate_index
+    def shard(self, mesh, shard_rows: bool = False) -> "RangeFilterTreeIndex":
+        """Distribute over a device Mesh.
 
-        replicate_index(self._ps, self._graphs, mesh)
+        Default: query sharding (point store + every row's adjacency
+        replicated; per-query batches shard on the mesh axis).
+
+        ``shard_rows=True`` additionally BUCKET-SHARDS rows whose adjacency
+        exceeds the ``device_rows_budget`` (all multi-bucket rows when no
+        budget is set): each such row's buckets are bin-packed across the
+        mesh's devices (parallel.sharded.shard_graph_row) and its searches
+        route each query to the owning device — the >HBM-per-chip regime
+        (SURVEY §5h). Results are identical to the single-device path
+        (tests/test_sharded.py::test_tree_shard_rows_matches_single_device)."""
+        from ..parallel.sharded import replicate_index, shard_graph_row
+
+        self._sharded = {}
+        if shard_rows:
+            budget = self._res.budget
+            for r, g in enumerate(self._graphs):
+                if g is None or len(self._offsets[r]) <= 2:
+                    continue  # single-bucket rows (row 0) stay replicated
+                row_bytes = g.nbrs_host.nbytes
+                if budget is None or row_bytes > budget:
+                    self._sharded[r] = shard_graph_row(self._ps, g, mesh)
+                    g.evict_device()  # the shards now hold the row
+        replicate_index(
+            self._ps,
+            [g for r, g in enumerate(self._graphs) if r not in self._sharded],
+            mesh,
+        )
         self._mesh = mesh
         return self
 
@@ -323,6 +348,28 @@ class RangeFilterTreeIndex:
         _, q_dev = qcache_fill(queries_padded, q_key)
         launches = []
         for r in np.unique(rows):
+            if r in self._sharded:
+                # bucket-sharded row: route each task to its bucket's owning
+                # device (blocking per group — the multi-chip >HBM path)
+                from ..parallel.sharded import sharded_bucket_search
+
+                row_sh = self._sharded[r]
+                for beam in np.unique(beams[rows == r]):
+                    sel = np.nonzero((rows == r) & (beams == beam))[0]
+                    gi, gd = sharded_bucket_search(
+                        row_sh, queries_padded[qis[sel]], buckets[sel],
+                        beam=int(beam), k=0, cut=cut, metric=self._ps.metric,
+                        limit=int(limit),
+                        degree_limit=(0 if degree_limit >= row_sh.nbrs_sh.shape[-1]
+                                      else int(degree_limit)),
+                        norm_col=(self._ps.norm_col
+                                  if self._ps.norm_col >= 0 else None),
+                    )
+                    gi, gd = gi[:, :k], gd[:, :k]
+                    valid = gi != int(EMPTY_ID)
+                    out_i[sel] = np.where(valid, gi, int(EMPTY_ID))
+                    out_d[sel] = np.where(valid, gd, np.inf)
+                continue
             g = self._res.touch(r)
             off = self._offsets[r]
             for beam in np.unique(beams[rows == r]):
@@ -368,6 +415,15 @@ class RangeFilterTreeIndex:
             return out_i, out_d
         for r in np.unique(rows):
             sel = np.nonzero(rows == r)[0]
+            if r in self._sharded:
+                from ..parallel.sharded import sharded_doubling_postfilter
+
+                out_i[sel], out_d[sel] = sharded_doubling_postfilter(
+                    self._sharded[r], self._ps, queries_padded[qis[sel]],
+                    buckets[sel], win_lo[sel], win_hi[sel], qp,
+                    self._ps.metric,
+                )
+                continue
             g = self._res.touch(r)
             off = self._offsets[r]
             starts = off[buckets[sel]].astype(np.int32)

