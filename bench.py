@@ -20,6 +20,7 @@ The built graph is cached under bench_cache/ and XLA compilations under
 .jax_cache/, so steady-state bench runs measure query throughput, not builds.
 """
 
+import gc
 import json
 import os
 import sys
@@ -27,6 +28,9 @@ import time
 
 import numpy as np
 
+# the 1M R=64 int8 inline slab is 8.2 GB; the default 7 GB budget would
+# silently skip the attach (set before the package import reads it)
+os.environ.setdefault("RFANN_INLINE_BUDGET", "9.5e9")
 os.makedirs("/root/repo/.jax_cache", exist_ok=True)
 import jax
 
@@ -233,6 +237,22 @@ def main():
     else:
         log("super caches absent; skipping super-postfiltering")
 
+    # --- 1M families (protocol scale; round-2 verdict weak #8): run only
+    # when the night runner's caches exist so the driver bench stays bounded
+    families_1m = {}
+    try:
+        if jax.default_backend() != "cpu":
+            del idx
+            if "tree" in dir():
+                del tree
+            if "sup" in dir():
+                del sup
+            del gt_idx
+            gc.collect()
+            families_1m = bench_1m(recall_of_k=K)
+    except Exception as e:  # noqa: BLE001 — the 200k headline must survive
+        log(f"1M families failed: {type(e).__name__}: {e}")
+
     best_qps = max((f["qps"] for f in families.values()), default=0.0)
     out = {
         "metric": "qps_at_recall0.9_frac2pow-2_window200k_best_method",
@@ -245,7 +265,73 @@ def main():
         out["device_resident_qps"] = round(device_qps, 1)
         out["device_resident_vs_baseline"] = round(
             device_qps / BASELINE_CPU_QPS, 3)
+    if families_1m:
+        out["families_1m"] = families_1m
     print(json.dumps(out))
+
+
+def bench_1m(recall_of_k=10):
+    """SIFT-1M-scale families at the protocol batch size, using the cached
+    R=64/L=500 protocol-class graph (BASELINE config #1's build params,
+    ref: python_bindings.cpp:88, run_our_method.py:35). Returns {} when the
+    graph cache is absent (cold driver runs stay bounded)."""
+    from rangefilteredann_tpu import BuildParams, build_query_params
+    from rangefilteredann_tpu.models.postfilter_vamana import (
+        PostfilterVamanaIndex)
+    from rangefilteredann_tpu.models.prefilter import PrefilterIndex
+
+    n, d, k = 1_000_000, 128, recall_of_k
+    rng = np.random.default_rng(7)  # EXACT tools/protocol_1m.make_data stream
+    centers = rng.normal(size=(1000, d)).astype(np.float32)
+    points = (centers[rng.integers(0, 1000, n)]
+              + 0.35 * rng.normal(size=(n, d))).astype(np.float32)
+    labels = rng.uniform(size=n)
+    lo_l, hi_l = float(labels.min()), float(labels.max())
+    cache = os.path.join(
+        "bench_cache", f"vamana_500_64_{1.2:.6f}_{lo_l:.6f}_{hi_l:.6f}_{n}.npz")
+    if not os.path.exists(cache):
+        log(f"1M graph cache absent ({cache}); skipping 1M families")
+        return {}
+    queries = (centers[rng.integers(0, 1000, NQ)]
+               + 0.35 * rng.normal(size=(NQ, d))).astype(np.float32)
+    starts = rng.uniform(0, 1 - FRACTION, size=NQ)
+    filters = np.stack([starts, starts + FRACTION], axis=1)
+
+    out = {}
+    pre = PrefilterIndex(points, labels, metric="Euclidian")
+    qp10 = build_query_params(k, k)
+    gt_ids, _ = pre.batch_search(queries, filters, NQ, qp10)
+    gt_sets = [set(r.astype(np.int64).tolist()) for r in gt_ids]
+    dt = best_of(lambda: pre.batch_search(queries, filters, NQ, qp10), reps=3)
+    log(f"1M prefilter (exact): qps={NQ/dt:.0f}")
+    out["prefilter"] = {"qps": round(NQ / dt, 1), "recall": 1.0,
+                        "config": "exact"}
+
+    idx = PostfilterVamanaIndex(
+        points, labels,
+        BuildParams(R=64, L=500, alpha=1.2, cache_path="bench_cache/"))
+    best = {"qps": 0.0}
+    for beam, fm in ((80, 2), (160, 2)):
+        qp = build_query_params(k, beam, final_beam_multiply=fm)
+        box = {}
+
+        def run(qp=qp, box=box):
+            box["ids"], _ = idx.batch_search(queries, filters, NQ, qp)
+
+        dt = best_of(run, reps=2)
+        rec = float(np.mean([
+            len(gt_sets[i] & set(box["ids"][i].astype(np.int64).tolist())) / k
+            for i in range(NQ)]))
+        log(f"1M postfilter beam={beam} fm={fm}: recall={rec:.4f} "
+            f"qps={NQ/dt:.0f}")
+        if rec >= 0.9 and NQ / dt > best["qps"]:
+            best = {"qps": round(NQ / dt, 1), "recall": round(rec, 4),
+                    "config": f"R=64,L=500,beam={beam},fm={fm}"}
+        if rec >= 0.99:
+            break
+    if best["qps"]:
+        out["postfilter"] = best
+    return out
 
 
 if __name__ == "__main__":
