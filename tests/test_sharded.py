@@ -147,6 +147,38 @@ def test_tree_shard_rows_matches_single_device():
             rtol=1e-5, atol=1e-4, err_msg=m)
 
 
+def test_tree_shard_rows_doubling_cap_and_exact_tail(monkeypatch):
+    """Sharded doubling must mirror the single-device beam schedule at the
+    cap: with MAX_SAFE_BEAM pinned low and narrow windows, queries exhaust
+    the cap and take the exact-scan tail on both paths identically."""
+    from rangefilteredann_tpu import (
+        BuildParams, RangeFilterTreeIndex, build_query_params,
+    )
+    from rangefilteredann_tpu.models import postfilter_vamana as pv
+    from rangefilteredann_tpu.parallel.sharded import make_mesh
+
+    monkeypatch.setattr(pv, "MAX_SAFE_BEAM", 32)
+    rng = np.random.default_rng(11)
+    n, d, nq = 2400, 16, 32
+    points = rng.normal(size=(n, d)).astype(np.float32)
+    labels = rng.uniform(size=n)
+    queries = rng.normal(size=(nq, d)).astype(np.float32)
+    # windows sized to land on a covering bucket (doubling path) but narrow
+    # enough that few beam-32 results fall inside -> cap -> exact tail
+    lo = rng.uniform(0, 0.8, size=nq)
+    filters = np.stack([lo, lo + 0.12], 1)
+    bp = BuildParams(R=16, L=32, alpha=1.2, cache_path="")
+    qp = build_query_params(5, 8, final_beam_multiply=2)
+    assert qp.postfiltering_max_beam > 32  # exact-tail arm is reachable
+
+    tree = RangeFilterTreeIndex(points, labels, cutoff=600, split_factor=2,
+                                build_params=bp, seed=4)
+    want = tree.batch_search(queries, filters, nq, "optimized_postfilter", qp)
+    tree.shard(make_mesh(8), shard_rows=True)
+    got = tree.batch_search(queries, filters, nq, "optimized_postfilter", qp)
+    np.testing.assert_array_equal(got[0], want[0])
+
+
 def test_bucket_sharded_graph_row_matches_single_device():
     """GRAPH index-sharding (round-1 verdict item 6): a B-WST row's buckets
     sharded across 8 devices, each query searched on its bucket's owning
