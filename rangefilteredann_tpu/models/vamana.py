@@ -136,21 +136,17 @@ class SlabGraph:
             # per-node symmetric int8 with one scale over the node's [R, w]
             # block; searches dequantize inside the distance and callers
             # exact-rerank the final candidates (ops/beam_search.exact_rerank).
-            # Chunked: a full fp32 gather of [m, R, w] would need 4x the HBM
-            # the quantized result takes.
-            m = self.m
-            # chunk the fp32 gather so its transient stays ~<1 GB
-            chunk = max(4096, next_pow2(int(1e9 // (self.R * w * 4))) // 2)
-            n_ch = -(-m // chunk)
-            buf = jnp.zeros((n_ch * chunk, self.R, w), dtype=jnp.int8)
-            sc = jnp.zeros((n_ch * chunk,), dtype=jnp.float32)
-            gid_pad = jnp.concatenate(
-                [gid, jnp.zeros((n_ch * chunk - m, self.R), gid.dtype)])
-            for c in range(n_ch):
-                buf, sc = _quant_inline_chunk(
-                    buf, sc, src, gid_pad, jnp.int32(c * chunk), chunk=chunk)
-            self.nbr_vecs = buf[:m]
-            self.nbr_scale = sc[:m]
+            # One jitted fori_loop over chunks: the [m, R, w] buffer is a
+            # loop carry so XLA updates it IN PLACE (per-call donation over
+            # the remote runtime is not guaranteed, and a post-hoc trim copy
+            # of the buffer doubled peak HBM to 2x8.2 GB at 1M/R=64 — the
+            # round-3 OOM). The last chunk overlaps the previous one instead
+            # of padding past m; rows are quantized independently, so the
+            # overlapping rewrite is idempotent.
+            chunk = min(self.m, max(
+                4096, next_pow2(int(1e9 // (self.R * w * 4))) // 2))
+            self.nbr_vecs, self.nbr_scale = _quant_inline_all(
+                src, gid, chunk=chunk)
         else:
             self.nbr_vecs = src.astype(dtype)[gid]  # [m, R, w]
             self.nbr_scale = None
@@ -171,17 +167,33 @@ def max_step_insert(bucket_slab_offsets) -> int:
     )
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=("chunk",))
-def _quant_inline_chunk(buf, sc, src, gid, lo, *, chunk):
-    """Quantize one chunk of inline neighbor blocks into the donated int8
-    buffer: per-node symmetric scale over the [R, w] block."""
-    g = jax.lax.dynamic_slice_in_dim(gid, lo, chunk, axis=0)  # [c, R]
-    v = src[g].astype(jnp.float32)  # [c, R, w]
-    s = jnp.maximum(jnp.abs(v).max(axis=(1, 2)), 1e-12) / 127.0
-    qv = jnp.clip(jnp.round(v / s[:, None, None]), -127, 127).astype(jnp.int8)
-    buf = jax.lax.dynamic_update_slice_in_dim(buf, qv, lo, axis=0)
-    sc = jax.lax.dynamic_update_slice_in_dim(sc, s, lo, axis=0)
-    return buf, sc
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _quant_inline_all(src, gid, *, chunk):
+    """Quantize every inline neighbor block (per-node symmetric scale over
+    the node's [R, w] block) in one compiled fori_loop. The int8 output and
+    the fp32 scales are loop carries, so XLA keeps them in place across
+    chunks; peak HBM = output (m*R*w bytes) + one [chunk, R, w] fp32
+    gather transient (~1 GB)."""
+    m, R = gid.shape
+    w = src.shape[1]
+    n_ch = -(-m // chunk)
+
+    def body(c, carry):
+        buf, sc = carry
+        # last chunk starts at m - chunk (overlap) rather than running past m
+        lo = jnp.minimum(c * chunk, m - chunk)
+        g = jax.lax.dynamic_slice_in_dim(gid, lo, chunk, axis=0)  # [c, R]
+        v = src[g].astype(jnp.float32)  # [c, R, w]
+        s = jnp.maximum(jnp.abs(v).max(axis=(1, 2)), 1e-12) / 127.0
+        qv = jnp.clip(jnp.round(v / s[:, None, None]), -127,
+                      127).astype(jnp.int8)
+        buf = jax.lax.dynamic_update_slice_in_dim(buf, qv, lo, axis=0)
+        sc = jax.lax.dynamic_update_slice_in_dim(sc, s, lo, axis=0)
+        return buf, sc
+
+    buf = jnp.zeros((m, R, w), dtype=jnp.int8)
+    sc = jnp.zeros((m,), dtype=jnp.float32)
+    return jax.lax.fori_loop(0, n_ch, body, (buf, sc))
 
 
 def _batch_schedule(m: int, base: float = 2.0, max_fraction: float = 0.02):

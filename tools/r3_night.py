@@ -59,6 +59,27 @@ def left_min():
     return (DEADLINE - time.time()) / 60.0
 
 
+def scrub_device():
+    """Hard HBM reset between phases. Round-3 lesson: the first runner's
+    m1_protocol OOM (attach_inline trim copy, since fixed) left HBM
+    holding dead buffers and EVERY later phase OOM'd at its first
+    device_put. Drop the package's device caches, collect, delete every
+    remaining live device array, and clear the jit caches (compiled fns
+    close over device constants); the persistent .jax_cache keeps
+    re-traces cheap."""
+    from rangefilteredann_tpu.models import base as _b
+
+    _b._QCACHE.clear()
+    gc.collect()
+    try:
+        for a in jax.live_arrays():
+            a.delete()
+    except Exception:
+        pass
+    jax.clear_caches()
+    gc.collect()
+
+
 def recall_of(ids, gt_sets):
     return float(np.mean(
         [len(gt_sets[i] & set(ids[i].astype(np.int64).tolist()))
@@ -410,6 +431,19 @@ def phase_deep10m_tree():
     filt = {2: f2, 6: f6}
     gt = {}
     for fexp in (2, 6):
+        p = f"{DATA_DIR}/gt{fexp}_ids.npy"
+        if not os.path.exists(p):  # deep10m phase failed/skipped: recompute
+            from rangefilteredann_tpu.models.prefilter import PrefilterIndex
+
+            pre = PrefilterIndex(points, labels, metric="l2")
+            qp10 = build_query_params(K, K)
+            for fe in (2, 6):
+                ids_gt, _ = pre.batch_search(queries, filt[fe], NQ, qp10)
+                np.save(f"{DATA_DIR}/gt{fe}_ids.npy", ids_gt)
+            del pre
+            gc.collect()
+            break
+    for fexp in (2, 6):
         gt[fexp] = [set(r.astype(np.int64).tolist())
                     for r in np.load(f"{DATA_DIR}/gt{fexp}_ids.npy")]
     bp = BuildParams(R=48, L=100, alpha=1.2, cache_path=CACHE)
@@ -435,18 +469,21 @@ def phase_deep10m_tree():
 
 # --------------------------------------------------------------------------
 PHASES = [
-    ("bench200k", phase_bench200k, 60),
-    ("m1_protocol", phase_m1_protocol, 80),
+    ("bench200k", phase_bench200k, 60),       # done in run 1 (caches exist)
+    ("m1_protocol", phase_m1_protocol, 30),   # graph cached; sweeps only
     ("deep10m", phase_deep10m, 210),
+    ("deep10m_tree", phase_deep10m_tree, 170),
     ("m1_tree", phase_m1_tree, 95),
     ("m1_grid", phase_m1_grid, 60),
     ("mips1m", phase_mips1m, 45),
-    ("deep10m_tree", phase_deep10m_tree, 170),
 ]
 
 if __name__ == "__main__":
+    only = set(sys.argv[1:])  # optional phase-name filter
     log(f"r3_night start; deadline in {left_min():.0f} min")
     for name, fn, est in PHASES:
+        if only and name not in only:
+            continue
         if left_min() < est * 0.9:
             log(f"=== phase {name} SKIPPED ({left_min():.0f} min left < "
                 f"est {est}) ===")
@@ -459,5 +496,5 @@ if __name__ == "__main__":
         except Exception:
             log(f"=== phase {name} FAILED after {(time.time()-t0)/60:.1f} "
                 f"min ===\n{traceback.format_exc()}")
-        gc.collect()
+        scrub_device()
     log("r3_night done")
