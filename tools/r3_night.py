@@ -473,9 +473,9 @@ PHASES = [
     ("m1_protocol", phase_m1_protocol, 30),   # graph cached; sweeps only
     ("deep10m", phase_deep10m, 210),
     ("deep10m_tree", phase_deep10m_tree, 170),
-    ("m1_tree", phase_m1_tree, 95),
-    ("m1_grid", phase_m1_grid, 60),
     ("mips1m", phase_mips1m, 45),
+    ("m1_grid", phase_m1_grid, 60),
+    ("m1_tree", phase_m1_tree, 95),
 ]
 
 if __name__ == "__main__":
