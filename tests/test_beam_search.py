@@ -372,6 +372,25 @@ def test_inline_int8_quantized_with_rerank(rng):
             assert abs(true - bd_np[i, j]) < 1e-2, (true, bd_np[i, j])
 
 
+def test_quant_inline_chunked_matches_single_chunk(rng):
+    """_quant_inline_all's fori_loop chunking (incl. the overlapping LAST
+    chunk when m is not a chunk multiple, and m < chunk) must produce
+    bit-identical blocks/scales to one whole-slab chunk — this is the
+    in-place path that replaced the 2x-HBM trim copy (round-3 OOM fix)."""
+    import jax.numpy as jnp
+
+    from rangefilteredann_tpu.models.vamana import _quant_inline_all
+
+    n, d_pad, r = 700, 32, 6
+    src = jnp.asarray(rng.normal(size=(n, d_pad)).astype(np.float32))
+    gid = jnp.asarray(rng.integers(0, n, size=(n, r)).astype(np.int32))
+    ref_buf, ref_sc = _quant_inline_all(src, gid, chunk=n)  # one chunk
+    for chunk in (256, 512, 700):  # 700%256=188, 700%512=188, exact
+        buf, sc = _quant_inline_all(src, gid, chunk=chunk)
+        np.testing.assert_array_equal(np.asarray(buf), np.asarray(ref_buf))
+        np.testing.assert_array_equal(np.asarray(sc), np.asarray(ref_sc))
+
+
 def test_merge_path_matches_sort_merge(rng):
     """The sort-free merge-path frontier merge must produce bit-identical
     (ids, dists, explored) to the lax.sort merge for every input shape the
