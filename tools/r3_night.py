@@ -187,6 +187,7 @@ def phase_deep10m():
 
     CACHE = "bench_cache/deep10m_l2/"
     DATA_DIR = "/tmp/night10m_data"
+    os.makedirs(DATA_DIR, exist_ok=True)
     log("deep10m: loading 10M points (seed 23)...")
     points, labels, queries, f2, f6 = make_data()
     filt = {2: f2, 6: f6}
@@ -215,7 +216,7 @@ def phase_deep10m():
     idx = PostfilterVamanaIndex(points, labels, bp, metric="l2")
     log(f"deep10m: flat L2 graph build/load: {(time.time()-t0)/60:.1f} min")
     rows = []
-    for fexp, beams in ((2, (40, 80, 160, 320)), (6, (40, 80, 160))):
+    for fexp, beams in ((2, (40, 80, 160, 320, 640)), (6, (40, 80, 160, 320))):
         for beam in beams:
             qp = build_query_params(K, beam, final_beam_multiply=2)
             (ids, _), dt = timed_search(
@@ -427,6 +428,7 @@ def phase_deep10m_tree():
 
     CACHE = "bench_cache/deep10m_l2/"
     DATA_DIR = "/tmp/night10m_data"
+    os.makedirs(DATA_DIR, exist_ok=True)
     points, labels, queries, f2, f6 = make_data()
     filt = {2: f2, 6: f6}
     gt = {}
@@ -468,14 +470,19 @@ def phase_deep10m_tree():
 
 
 # --------------------------------------------------------------------------
+# Estimates recalibrated from measured round-2 builds (docs/PERFORMANCE.md:
+# 1M R48/L100 750 s, 1M R64/L200 15 min, 1M B-WST rows 82 min, 10M R48/L100
+# 133-164 min, 200k bench caches 33 min). Machine reset wiped every cache,
+# so all builds are cold. m1_tree is subsumed by m1_grid (which builds the
+# tree itself and degrades gracefully per fraction).
 PHASES = [
-    ("bench200k", phase_bench200k, 60),       # done in run 1 (caches exist)
-    ("m1_protocol", phase_m1_protocol, 30),   # graph cached; sweeps only
-    ("deep10m", phase_deep10m, 210),
-    ("deep10m_tree", phase_deep10m_tree, 170),
-    ("mips1m", phase_mips1m, 45),
-    ("m1_grid", phase_m1_grid, 60),
-    ("m1_tree", phase_m1_tree, 95),
+    ("bench200k", phase_bench200k, 40),
+    ("m1_protocol", phase_m1_protocol, 65),
+    ("deep10m", phase_deep10m, 180),
+    ("mips1m", phase_mips1m, 40),
+    ("m1_grid", phase_m1_grid, 75),
+    ("deep10m_tree", phase_deep10m_tree, 150),
+    ("m1_tree", phase_m1_tree, 85),
 ]
 
 if __name__ == "__main__":
@@ -488,13 +495,23 @@ if __name__ == "__main__":
             log(f"=== phase {name} SKIPPED ({left_min():.0f} min left < "
                 f"est {est}) ===")
             continue
-        log(f"=== phase {name} (est {est} min, {left_min():.0f} left) ===")
-        t0 = time.time()
-        try:
-            fn()
-            log(f"=== phase {name} done in {(time.time()-t0)/60:.1f} min ===")
-        except Exception:
-            log(f"=== phase {name} FAILED after {(time.time()-t0)/60:.1f} "
-                f"min ===\n{traceback.format_exc()}")
+        for attempt in (1, 2):
+            log(f"=== phase {name} (est {est} min, {left_min():.0f} left, "
+                f"attempt {attempt}) ===")
+            t0 = time.time()
+            try:
+                fn()
+                log(f"=== phase {name} done in "
+                    f"{(time.time()-t0)/60:.1f} min ===")
+                break
+            except Exception:
+                tb = traceback.format_exc()
+                log(f"=== phase {name} FAILED after "
+                    f"{(time.time()-t0)/60:.1f} min ===\n{tb}")
+                scrub_device()
+                # one retry, only for device-memory failures (caches make
+                # the second attempt resume where the first died)
+                if "RESOURCE_EXHAUSTED" not in tb or attempt == 2:
+                    break
         scrub_device()
     log("r3_night done")
