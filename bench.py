@@ -179,16 +179,19 @@ def main():
 
     # --- B-WST tree methods — only when the row caches exist (a cold tree
     # build is ~5 min at this scale; the driver's bench run must stay bounded)
-    from rangefilteredann_tpu.models.range_filter_tree import row_cache_filename
+    from rangefilteredann_tpu.models.range_filter_tree import (
+        build_offset_rows, row_cache_filename)
 
     tree_bp = BuildParams(R=48, L=100, alpha=1.2, cache_path="bench_cache/")
-    # probe row 1: row 0 lives in the SHARED whole-dataset vamana cache (the
-    # flat build above wrote it), so no wst_*_row0.npz file ever exists
-    tree_cache = row_cache_filename(
-        "bench_cache/", tree_bp, float(labels.min()), float(labels.max()),
-        N, 2, 1000, 1,
-    )
-    if os.path.exists(tree_cache):
+    # probe row 1 AND the last row: row 0 lives in the SHARED whole-dataset
+    # vamana cache (the flat build above wrote it), so no wst_*_row0.npz ever
+    # exists; a night build killed mid-tree leaves early rows only, and a
+    # partial tree would trigger an unbounded cold build here
+    n_rows = len(build_offset_rows(N, 1000, 2))
+    if all(os.path.exists(row_cache_filename(
+            "bench_cache/", tree_bp, float(labels.min()),
+            float(labels.max()), N, 2, 1000, r))
+           for r in (1, n_rows - 1)):
         tree = RangeFilterTreeIndex(
             points, labels, cutoff=1000, split_factor=2,
             build_params=tree_bp,
@@ -212,13 +215,14 @@ def main():
 
     from rangefilteredann_tpu.models.super_postfilter_tree import (
         super_row_cache_filename,
+        super_row_layout,
     )
 
-    super_cache = super_row_cache_filename(
-        "bench_cache/", tree_bp, float(labels.min()), float(labels.max()),
-        N, 2.0, 0.5, 1000, 1,
-    )
-    if os.path.exists(super_cache):
+    n_super_rows = len(super_row_layout(N, 1000, 2.0, 0.5))
+    if all(os.path.exists(super_row_cache_filename(
+            "bench_cache/", tree_bp, float(labels.min()),
+            float(labels.max()), N, 2.0, 0.5, 1000, r))
+           for r in (1, n_super_rows - 1)):
         sup = SuperOptimizedPostfilterTree(
             points, labels, cutoff=1000, split_factor=2.0, shift_factor=0.5,
             build_params=tree_bp,
@@ -331,6 +335,47 @@ def bench_1m(recall_of_k=10):
             break
     if best["qps"]:
         out["postfilter"] = best
+
+    # 1M B-WST (fenwick) — only when the night runner's row caches exist
+    # (probe row 1 AND the last row; a partial tree must not trigger an
+    # unbounded cold build in the driver's bench run)
+    from rangefilteredann_tpu import RangeFilterTreeIndex
+    from rangefilteredann_tpu.models.range_filter_tree import (
+        build_offset_rows, row_cache_filename)
+
+    tree_bp = BuildParams(R=48, L=100, alpha=1.2, cache_path="bench_cache/")
+    n_rows_1m = len(build_offset_rows(n, 1000, 2))
+    if all(os.path.exists(row_cache_filename(
+            "bench_cache/", tree_bp, lo_l, hi_l, n, 2, 1000, r))
+           for r in (1, n_rows_1m - 1)):
+        del idx
+        gc.collect()
+        tree = RangeFilterTreeIndex(points, labels, cutoff=1000,
+                                    split_factor=2, build_params=tree_bp)
+        best_t = {"qps": 0.0}
+        for beam in (40, 80):
+            qp = build_query_params(k, beam, final_beam_multiply=2)
+            box = {}
+
+            def run(qp=qp, box=box):
+                box["ids"], _ = tree.batch_search(
+                    queries, filters, NQ, "fenwick", qp)
+
+            dt = best_of(run, reps=2)
+            rec = float(np.mean([
+                len(gt_sets[i]
+                    & set(box["ids"][i].astype(np.int64).tolist())) / k
+                for i in range(NQ)]))
+            log(f"1M fenwick beam={beam}: recall={rec:.4f} qps={NQ/dt:.0f}")
+            if rec >= 0.9 and NQ / dt > best_t["qps"]:
+                best_t = {"qps": round(NQ / dt, 1), "recall": round(rec, 4),
+                          "config": f"R=48,L=100,beam={beam},fm=2"}
+            if rec >= 0.99:
+                break
+        if best_t["qps"]:
+            out["fenwick"] = best_t
+    else:
+        log("1M tree row caches absent; skipping 1M fenwick family")
     return out
 
 
