@@ -356,8 +356,10 @@ class PostfilterVamanaIndex:
         metric: str = "Euclidian",
         *,
         seed: int = 0,
+        require_cache: bool = False,
     ):
         bp = build_params or BuildParams()
+        self._require_cache = require_cache
         points = np.asarray(points)
         pts_sorted, self._labels_sorted, self._decoding = sort_by_labels(
             points, np.asarray(filter_values)
@@ -400,6 +402,13 @@ class PostfilterVamanaIndex:
                     slab_to_global_host=s2g,
                     identity_s2g=True,
                 )
+        if self._require_cache:
+            # bounded callers (the driver bench) must never fall into a cold
+            # build because a cache is absent — or present but fingerprint-
+            # mismatched after a generator drift (round-3 review finding)
+            raise FileNotFoundError(
+                f"require_cache: graph cache absent or fingerprint-mismatched"
+                f" ({fname})")
         g = build_vamana_graph(self._ps, s2g, offsets, bp, seed=seed)
         if fname:
             os.makedirs(os.path.dirname(fname), exist_ok=True)

@@ -109,8 +109,10 @@ class RangeFilterTreeIndex:
         device_rows_budget: "Optional[int]" = None,  # bytes of row adjacency
         # kept on device (LRU, rows re-upload on route); None = all resident.
         # The 10M+ regime: a B-WST's rows total ~2x n*R*4 bytes.
+        require_cache: bool = False,  # raise instead of cold-building a row
     ):
         bp = build_params or BuildParams()
+        self._require_cache = require_cache
         points = np.asarray(points)
         pts_sorted, self._labels_sorted, self._decoding = sort_by_labels(
             points, np.asarray(filter_values)
@@ -174,6 +176,10 @@ class RangeFilterTreeIndex:
                     slab_to_global_host=s2g,
                     identity_s2g=True,  # tree rows partition the sorted ids
                 )
+        if self._require_cache:
+            raise FileNotFoundError(
+                f"require_cache: row {r} cache absent or fingerprint-"
+                f"mismatched ({fname})")
         g = build_vamana_graph(self._ps, s2g, row_off, self._bp, seed=seed + r)
         if fname:
             os.makedirs(os.path.dirname(fname), exist_ok=True)
@@ -189,30 +195,66 @@ class RangeFilterTreeIndex:
         Default: query sharding (point store + every row's adjacency
         replicated; per-query batches shard on the mesh axis).
 
-        ``shard_rows=True`` additionally BUCKET-SHARDS rows whose adjacency
-        exceeds the ``device_rows_budget`` (all multi-bucket rows when no
-        budget is set): each such row's buckets are bin-packed across the
-        mesh's devices (parallel.sharded.shard_graph_row) and its searches
-        route each query to the owning device — the >HBM-per-chip regime
-        (SURVEY §5h). Results are identical to the single-device path
-        (tests/test_sharded.py::test_tree_shard_rows_matches_single_device)."""
+        ``shard_rows=True`` additionally BUCKET-SHARDS rows across the
+        mesh's devices (all multi-bucket rows when no ``device_rows_budget``
+        is set; otherwise the largest rows first, until what stays
+        replicated — plus each device's slice of the shards — fits the
+        budget, which is read as per-device HBM available to this tree):
+        each sharded row's buckets are bin-packed across devices
+        (parallel.sharded.shard_graph_row) and its searches route each
+        query to the owning device — the >HBM-per-chip regime (SURVEY
+        §5h). Results are identical to the single-device path
+        (tests/test_sharded.py::test_tree_shard_rows_matches_single_device).
+
+        After shard() the row LRU is pinned (budget cleared): the
+        replicated remainder fits by construction, and an LRU re-upload
+        would land on ONE device, feeding mixed placements to later mesh
+        searches."""
         from ..parallel.sharded import replicate_index, shard_graph_row
 
         self._sharded = {}
         if shard_rows:
             budget = self._res.budget
-            for r, g in enumerate(self._graphs):
-                if g is None or len(self._offsets[r]) <= 2:
-                    continue  # single-bucket rows (row 0) stay replicated
-                row_bytes = g.nbrs_host.nbytes
-                if budget is None or row_bytes > budget:
-                    self._sharded[r] = shard_graph_row(self._ps, g, mesh)
-                    g.evict_device()  # the shards now hold the row
+            D = int(np.prod(mesh.devices.shape))
+            cand = {r: g for r, g in enumerate(self._graphs)
+                    if g is not None and len(self._offsets[r]) > 2}
+            # single-bucket rows (row 0) cannot shard; they replicate
+            if budget is None:
+                to_shard = sorted(cand)
+            else:
+                d_pad = int(self._ps.data.shape[1])
+                item = int(np.dtype(self._ps.data.dtype).itemsize)
+                fixed = sum(
+                    g.device_bytes() for r, g in enumerate(self._graphs)
+                    if g is not None and r not in cand)
+                repl = {r: g.device_bytes() for r, g in cand.items()}
+                shard_pd = 0  # per-device bytes of shard slices so far
+                to_shard = []
+                for r in sorted(cand, key=lambda r: repl[r], reverse=True):
+                    if fixed + sum(repl.values()) + shard_pd <= budget:
+                        break
+                    g = cand[r]
+                    to_shard.append(r)
+                    # per-device slice: point rows + norms + adjacency
+                    shard_pd += g.m * (d_pad * item + 4 + g.R * 4) // D
+                    del repl[r]
+            if to_shard:
+                # one host fetch serves every row (a per-row np.asarray of
+                # the point store would re-pull ~GBs over the tunnel)
+                data_host = np.asarray(self._ps.data)
+                norms_host = np.asarray(self._ps.norms_sq)
+                for r in sorted(to_shard):
+                    self._sharded[r] = shard_graph_row(
+                        self._ps, cand[r], mesh,
+                        data_host=data_host, norms_host=norms_host)
+                    cand[r].evict_device()  # the shards now hold the row
         replicate_index(
             self._ps,
             [g for r, g in enumerate(self._graphs) if r not in self._sharded],
             mesh,
         )
+        self._res.budget = None  # pin: every replicated row is resident now
+        self._res.order = []
         self._mesh = mesh
         return self
 
@@ -356,7 +398,7 @@ class RangeFilterTreeIndex:
                 row_sh = self._sharded[r]
                 for beam in np.unique(beams[rows == r]):
                     sel = np.nonzero((rows == r) & (beams == beam))[0]
-                    gi, gd = sharded_bucket_search(
+                    gi, gd, nv, dc = sharded_bucket_search(
                         row_sh, queries_padded[qis[sel]], buckets[sel],
                         beam=int(beam), k=0, cut=cut, metric=self._ps.metric,
                         limit=int(limit),
@@ -364,7 +406,11 @@ class RangeFilterTreeIndex:
                                       else int(degree_limit)),
                         norm_col=(self._ps.norm_col
                                   if self._ps.norm_col >= 0 else None),
+                        return_stats=True,
                     )
+                    if stats is not None:
+                        stats.increment_visited(qis[sel], nv)
+                        stats.increment_dist(qis[sel], dc)
                     gi, gd = gi[:, :k], gd[:, :k]
                     valid = gi != int(EMPTY_ID)
                     out_i[sel] = np.where(valid, gi, int(EMPTY_ID))
@@ -419,9 +465,9 @@ class RangeFilterTreeIndex:
                 from ..parallel.sharded import sharded_doubling_postfilter
 
                 out_i[sel], out_d[sel] = sharded_doubling_postfilter(
-                    self._sharded[r], self._ps, queries_padded[qis[sel]],
+                    self._sharded[r], self._ps, queries_padded,
                     buckets[sel], win_lo[sel], win_hi[sel], qp,
-                    self._ps.metric,
+                    self._ps.metric, qis=qis[sel], q_key=q_key, stats=stats,
                 )
                 continue
             g = self._res.touch(r)

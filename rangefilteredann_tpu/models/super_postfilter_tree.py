@@ -76,7 +76,9 @@ class SuperOptimizedPostfilterTree:
         seed: int = 0,
         device_rows_budget: Optional[int] = None,  # bytes of row adjacency
         # kept on device (LRU, rows re-upload on route); None = all resident
+        require_cache: bool = False,  # raise instead of cold-building a row
     ):
+        self._require_cache = require_cache
         if split_factor <= 1:
             raise ValueError("split_factor must be greater than 1")
         if not (0 < shift_factor < 1):
@@ -187,6 +189,10 @@ class SuperOptimizedPostfilterTree:
                     m_pad == self._ps.n
                     and np.array_equal(s2g, np.arange(len(s2g)))),
             )
+        if self._require_cache:
+            raise FileNotFoundError(
+                f"require_cache: super row {r} cache absent or fingerprint-"
+                f"mismatched ({fname})")
         g = build_vamana_graph(self._ps, s2g, slab_offsets, self._bp,
                                seed=seed + r, pad_rows=pad_rows,
                                insert_pad=insert_pad)

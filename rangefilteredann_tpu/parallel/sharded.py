@@ -146,11 +146,16 @@ class ShardedGraphRow:
         return int(np.prod(self.mesh.devices.shape))
 
 
-def shard_graph_row(ps, graph, mesh: Mesh) -> ShardedGraphRow:
+def shard_graph_row(ps, graph, mesh: Mesh,
+                    data_host=None, norms_host=None) -> ShardedGraphRow:
     """Bucket-shard a SlabGraph row: greedy size-balanced assignment of whole
     buckets to devices; per-shard contiguous point/adjacency layout with
     monotone id remapping (preserves (dist, id) tie order inside a bucket,
-    so sharded results are bit-identical to single-device ones)."""
+    so sharded results are bit-identical to single-device ones).
+
+    ``data_host``/``norms_host``: optional host copies of ps.data/ps.norms_sq.
+    Callers sharding several rows should fetch once and pass them in — a
+    per-row np.asarray(ps.data) is a full device→host transfer of the store."""
     axis = mesh.axis_names[0]
     D = int(np.prod(mesh.devices.shape))
     off = np.asarray(graph.bucket_slab_offsets, dtype=np.int64)
@@ -173,8 +178,10 @@ def shard_graph_row(ps, graph, mesh: Mesh) -> ShardedGraphRow:
     l2g = np.full((D, ms), -1, dtype=np.int64)
     bucket_local_start = np.zeros(nb, dtype=np.int64)
 
-    data_host = np.asarray(ps.data)
-    norms_host = np.asarray(ps.norms_sq)
+    if data_host is None:
+        data_host = np.asarray(ps.data)
+    if norms_host is None:
+        norms_host = np.asarray(ps.norms_sq)
     s2g = graph.slab_to_global_host
     fill = np.zeros(D, dtype=np.int64)
     for b in range(nb):
@@ -224,10 +231,12 @@ def sharded_bucket_search(
     qd: int = 0,  # per-device query batch (0 = derive from routing)
     limit: int = 0,  # max visited (0 = the local shard size)
     degree_limit: int = 0,
+    return_stats: bool = False,
 ):
     """Route each query to its bucket's owning device and search there.
 
-    Returns (global_ids [Q, beam] int64 EMPTY_ID-padded, dists [Q, beam]).
+    Returns (global_ids [Q, beam] int64 EMPTY_ID-padded, dists [Q, beam]);
+    with ``return_stats`` additionally (num_visited [Q], dist_cmps [Q]).
     Identical results to searching the unsharded row (pinned by
     tests/test_sharded.py)."""
     D = row.n_devices
@@ -267,12 +276,13 @@ def sharded_bucket_search(
             metric=metric, active_in=a, degree_limit=degree_limit,
             norm_col=norm_col, identity_map=True,
         )
-        return res.frontier_ids, res.frontier_dists
+        return (res.frontier_ids, res.frontier_dists,
+                res.num_visited, res.dist_cmps)
 
-    f_ids, f_d = _shard_map(
+    f_ids, f_d, f_nv, f_dc = _shard_map(
         local, row.mesh,
         (P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
-        (P(axis), P(axis)),
+        (P(axis), P(axis), P(axis), P(axis)),
     )(row.points_sh, row.norms_sh, row.nbrs_sh, qs_d, st_d, act_d)
     f_ids = np.asarray(f_ids).reshape(D, qd, beam)
     f_d = np.asarray(f_d).reshape(D, qd, beam)
@@ -285,6 +295,10 @@ def sharded_bucket_search(
     ).astype(np.int64)
     out_d = f_d[placing[:, 0], placing[:, 1]].astype(np.float32)
     out_d = np.where(valid, out_d, np.inf)
+    if return_stats:
+        nv = np.asarray(f_nv).reshape(D, qd)[placing[:, 0], placing[:, 1]]
+        dc = np.asarray(f_dc).reshape(D, qd)[placing[:, 0], placing[:, 1]]
+        return out_i, out_d, nv, dc
     return out_i, out_d
 
 
@@ -307,12 +321,16 @@ def _window_topk_host(gi, gd, win_lo, win_hi, k):
 def sharded_doubling_postfilter(
     row: ShardedGraphRow,
     ps,  # PointSet (replicated): exact-scan tail + norms
-    queries_padded: np.ndarray,  # [Q, d_pad] (task-aligned rows)
-    buckets: np.ndarray,  # [Q] bucket per task
-    win_lo: np.ndarray,  # [Q] global sorted-id window (inclusive)
-    win_hi: np.ndarray,  # [Q] (exclusive)
+    queries_padded: np.ndarray,  # [Q, d_pad] (full batch when qis given)
+    buckets: np.ndarray,  # [T] bucket per task
+    win_lo: np.ndarray,  # [T] global sorted-id window (inclusive)
+    win_hi: np.ndarray,  # [T] (exclusive)
     qp,
     metric: str,
+    *,
+    qis: Optional[np.ndarray] = None,  # [T] task -> queries_padded row
+    q_key=None,  # models.base._qkey of the FULL queries_padded
+    stats=None,  # utils.stats.QueryStats (ids = qis)
 ):
     """Beam-doubling postfilter over a bucket-sharded row — the sequential
     (non-speculative) form of models.postfilter_vamana.doubling_postfilter
@@ -320,11 +338,17 @@ def sharded_doubling_postfilter(
     semantics, so a sharded tree query returns the same results as the
     single-device path (pinned by tests/test_sharded.py).
 
-    Returns (ids [Q, k] global sorted ids, dists [Q, k])."""
+    Pass the FULL padded query matrix plus ``qis``/``q_key`` when calling
+    from a batch driver: the exact-scan tail then reuses the device query
+    cache (q_rows gather) instead of churning it with per-call subset
+    copies (CLAUDE.md "Tunnel economics").
+
+    Returns (ids [T, k] global sorted ids, dists [T, k])."""
     from ..models.base import batched_range_bruteforce
     from ..models.postfilter_vamana import MAX_SAFE_BEAM
 
     nq = len(buckets)
+    qrows = np.arange(nq, dtype=np.int64) if qis is None else np.asarray(qis)
     k = qp.k
     max_beam = min(qp.postfiltering_max_beam, MAX_SAFE_BEAM)
     exact_tail = qp.postfiltering_max_beam > max_beam
@@ -336,12 +360,16 @@ def sharded_doubling_postfilter(
     dl = qp.degree_limit if qp.degree_limit < row.nbrs_sh.shape[-1] else 0
 
     def search(sel, b):
-        gi, gd = sharded_bucket_search(
-            row, queries_padded[sel], buckets[sel], beam=int(b), k=0,
+        gi, gd, nv, dc = sharded_bucket_search(
+            row, queries_padded[qrows[sel]], buckets[sel], beam=int(b), k=0,
             cut=qp.cut, metric=metric, limit=int(qp.limit),
             degree_limit=dl,
             norm_col=ps.norm_col if ps.norm_col >= 0 else None,
+            return_stats=True,
         )
+        if stats is not None:
+            stats.increment_visited(qrows[sel], nv)
+            stats.increment_dist(qrows[sel], dc)
         return _window_topk_host(gi, gd, win_lo[sel], win_hi[sel], k)
 
     while not done.all():
@@ -362,7 +390,7 @@ def sharded_doubling_postfilter(
             ps.data, ps.norms_sq, queries_padded,
             win_lo[sel].astype(np.int64), win_hi[sel].astype(np.int64),
             k, metric, norm_col=ps.norm_col if ps.norm_col >= 0 else None,
-            q_rows=sel,
+            q_rows=qrows[sel], q_key=q_key,
         )
         res_i[sel] = bf_i
         res_d[sel] = bf_d

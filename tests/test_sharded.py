@@ -229,3 +229,56 @@ def test_bucket_sharded_graph_row_matches_single_device():
     w = np.where(want_i == int(EMPTY_ID), 0.0, want_d)
     gd = np.where(got_i == int(EMPTY_ID), 0.0, got_d)
     np.testing.assert_allclose(gd, w, rtol=1e-5, atol=1e-4)
+
+
+def test_tree_shard_rows_aggregate_budget_and_stats():
+    """Round-3 review findings: (a) device_rows_budget is an AGGREGATE
+    per-device budget — rows each below it but jointly above it must still
+    shard (the old per-row compare sharded nothing and then eagerly
+    replicated everything); (b) after shard() the LRU is pinned (no
+    single-device re-uploads); (c) QueryStats must accumulate identically
+    for queries routed to sharded rows."""
+    from rangefilteredann_tpu import (
+        BuildParams, RangeFilterTreeIndex, build_query_params,
+    )
+    from rangefilteredann_tpu.parallel.sharded import make_mesh
+    from rangefilteredann_tpu.utils.stats import QueryStats
+
+    rng = np.random.default_rng(13)
+    n, d, nq = 3000, 16, 32
+    points = rng.normal(size=(n, d)).astype(np.float32)
+    labels = rng.uniform(size=n)
+    queries = rng.normal(size=(nq, d)).astype(np.float32)
+    widths = rng.choice([0.08, 0.3], size=nq)
+    lo = rng.uniform(0, 1, size=nq) * (1 - widths)
+    filters = np.stack([lo, lo + widths], 1)
+    bp = BuildParams(R=16, L=32, alpha=1.2, cache_path="")
+    qp = build_query_params(5, 16, final_beam_multiply=2)
+
+    # every row's adjacency is ~n*(R+1)*4 = 204 kB — below the budget —
+    # but the rows sum past it, so the aggregate rule must shard some
+    budget = 700_000
+    tree = RangeFilterTreeIndex(points, labels, cutoff=400, split_factor=2,
+                                build_params=bp, seed=2)
+    stats_want = QueryStats(nq)
+    want = tree.batch_search(queries, filters, nq, "optimized_postfilter",
+                             qp, stats=stats_want)
+
+    tree2 = RangeFilterTreeIndex(points, labels, cutoff=400, split_factor=2,
+                                 build_params=bp, seed=2,
+                                 device_rows_budget=budget)
+    for g in tree2._graphs:  # per-row bytes all under the budget
+        if g is not None:
+            assert g.device_bytes() < budget
+    tree2.shard(make_mesh(8), shard_rows=True)
+    assert tree2._sharded, "aggregate budget overflow must shard rows"
+    assert 0 not in tree2._sharded
+    assert tree2._res.budget is None, "LRU must be pinned after shard()"
+
+    stats_got = QueryStats(nq)
+    got = tree2.batch_search(queries, filters, nq, "optimized_postfilter",
+                             qp, stats=stats_got)
+    np.testing.assert_array_equal(got[0], want[0])
+    assert stats_got.visited.sum() > 0
+    np.testing.assert_array_equal(stats_got.visited, stats_want.visited)
+    np.testing.assert_array_equal(stats_got.distances, stats_want.distances)
