@@ -135,6 +135,11 @@ def doubling_postfilter(
     """Batched beam-doubling postfilter query (ref: postfilter_vamana.h:141-188).
 
     Returns (ids [Q, k] global sorted ids, dists [Q, k]) — inf/EMPTY padded.
+
+    NOTE: parallel.sharded.sharded_doubling_postfilter mirrors this beam
+    schedule (cap, do-while, exact tail, final multiply) in sequential form
+    for bucket-sharded rows. Schedule changes here must be mirrored there;
+    tests/test_sharded.py pins the parity.
     """
     rows_of = ((lambda s: q_rows[s]) if q_rows is not None
                else (lambda s: s))

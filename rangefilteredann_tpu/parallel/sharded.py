@@ -338,6 +338,14 @@ def sharded_doubling_postfilter(
     semantics, so a sharded tree query returns the same results as the
     single-device path (pinned by tests/test_sharded.py).
 
+    DELIBERATE duplication: the dense path's schedule is interleaved with
+    async device futures, speculative finals, and quantized rerank —
+    parameterizing it over a search backend would obscure both. Any change
+    to the schedule there (cap handling, final-pass condition, tail
+    semantics) MUST be mirrored here; the parity tests
+    (test_tree_shard_rows_matches_single_device,
+    test_tree_shard_rows_doubling_cap_and_exact_tail) catch divergence.
+
     Pass the FULL padded query matrix plus ``qis``/``q_key`` when calling
     from a batch driver: the exact-scan tail then reuses the device query
     cache (q_rows gather) instead of churning it with per-call subset

@@ -48,11 +48,23 @@ def test_integer_prefilter_exact(rng, dtype, cls):
     ls = labels[order]
     a, b = np.searchsorted(ls, 0.2), np.searchsorted(ls, 0.7)
     cand = order[a:b]
+    cand_set = set(cand.tolist())
     for i in range(nq):
         diff = points[cand].astype(np.int64) - queries[i].astype(np.int64)
         dd = (diff * diff).sum(1)
-        want = set(cand[np.argsort(dd)[:k]].tolist())
-        assert len(want & set(int(x) for x in ids[i])) == k
+        dd_of = dict(zip(cand.tolist(), dd.tolist()))
+        # tie-aware exactness (integer points tie often; the session-scoped
+        # rng makes the data order-dependent, so id sets are not stable):
+        # every returned id must be an in-range candidate, and the returned
+        # distance MULTISET must equal the true top-k multiset — the
+        # reference's recall is tie-aware the same way
+        # (check_nn_recall.h:85-108)
+        got = [int(x) for x in ids[i]]
+        assert len(got) == k and len(set(got)) == k
+        assert set(got) <= cand_set
+        got_dd = sorted(dd_of[g] for g in got)
+        want_dd = sorted(dd.tolist())[:k]
+        assert got_dd == want_dd
 
 
 def test_int8_mips_postfilter_recall(rng):
