@@ -321,6 +321,42 @@ def bench_1m(recall_of_k=10):
     out["prefilter"] = {"qps": round(NQ / dt, 1), "recall": 1.0,
                         "config": "exact"}
 
+    # device-resident exact-scan rate at 1M (chip capability with transfers
+    # amortized — same methodology as the 200k device_resident_qps field)
+    try:
+        import jax.numpy as jnp
+        from rangefilteredann_tpu.ops.pallas_scan import (
+            host_max_tiles, pallas_scan_bruteforce)
+        from rangefilteredann_tpu.utils.data import (
+            first_geq, pad_dim, pad_queries)
+
+        ps = pre._ps
+        ss = first_geq(pre._labels_sorted, filters[:, 0]).astype(np.int32)
+        ee = first_geq(pre._labels_sorted, filters[:, 1]).astype(np.int32)
+        o = np.argsort(ss + ee, kind="stable")
+        w_d = pad_dim(ps.d)
+        qs = pad_queries(queries, ps.d, ps.d_pad)[o, :w_d]
+        mt = host_max_tiles(ss[o], ee[o], ps.n, w_d=w_d)
+        q_dev = jnp.asarray(qs)
+        s_dev, e_dev = jnp.asarray(ss[o]), jnp.asarray(ee[o])
+
+        def scan_once():
+            return pallas_scan_bruteforce(
+                ps.data, ps.norms_sq, q_dev, s_dev, e_dev, k=k,
+                metric=ps.metric, d_eff=w_d, max_tiles=mt)
+        scan_once()[0].block_until_ready()
+        best_dev = np.inf
+        for _ in range(3):
+            t0 = time.time()
+            outs = [scan_once() for _ in range(4)]
+            outs[-1][0].block_until_ready()
+            best_dev = min(best_dev, (time.time() - t0) / 4)
+        out["device_resident_qps"] = round(NQ / best_dev, 1)
+        log(f"1M prefilter device-resident: qps={NQ/best_dev:.0f}")
+        del ps, q_dev, s_dev, e_dev, outs
+    except Exception as e:  # noqa: BLE001 — capability probe only
+        log(f"1M device-resident probe failed: {type(e).__name__}: {e}")
+
     idx = PostfilterVamanaIndex(
         points, labels,
         BuildParams(R=64, L=500, alpha=1.2, cache_path="bench_cache/"),
