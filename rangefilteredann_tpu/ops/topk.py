@@ -10,9 +10,14 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 INF = jnp.inf
-EMPTY_ID = jnp.int32(2**31 - 1)  # sorts after every real id
+# NumPy (not jnp) scalar ON PURPOSE: a module-level DEVICE array is deleted
+# by hard HBM resets (jax.live_arrays().delete(), tools/r3_night.scrub_device)
+# and every later trace that embeds it dies with "Array has been deleted".
+# A np.int32 embeds as a fresh constant per trace — identical semantics.
+EMPTY_ID = np.int32(2**31 - 1)  # sorts after every real id
 
 
 def masked_topk(dists: jax.Array, ids: jax.Array, k: int):
