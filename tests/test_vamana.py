@@ -258,3 +258,34 @@ def test_reverse_edges_match_groupby_oracle(rng):
 
     assert np.array_equal(got_d, want_d)
     assert np.array_equal(got_n, want_n)
+
+
+def test_require_cache_guard(tmp_path, rng):
+    """require_cache must load an existing, fingerprint-matching cache and
+    raise (never cold-build) when the cache is absent or the data drifted
+    (round-3 review: a generator drift is invisible to filename probes and
+    would otherwise trigger an unbounded cold build in bounded callers)."""
+    import pytest
+
+    from rangefilteredann_tpu import BuildParams
+    from rangefilteredann_tpu.models.postfilter_vamana import (
+        PostfilterVamanaIndex)
+
+    n, d = 1500, 16
+    points = rng.normal(size=(n, d)).astype(np.float32)
+    labels = rng.uniform(size=n)
+    bp = BuildParams(R=8, L=16, alpha=1.2, cache_path=str(tmp_path) + "/")
+
+    with pytest.raises(FileNotFoundError):
+        PostfilterVamanaIndex(points, labels, bp, require_cache=True)
+
+    built = PostfilterVamanaIndex(points, labels, bp)  # writes the cache
+    loaded = PostfilterVamanaIndex(points, labels, bp, require_cache=True)
+    np.testing.assert_array_equal(
+        loaded._graph.nbrs_host, built._graph.nbrs_host)
+
+    # same shapes + label range, different content -> fingerprint mismatch
+    drifted = points.copy()
+    drifted[10] += 1.0
+    with pytest.raises(FileNotFoundError):
+        PostfilterVamanaIndex(drifted, labels, bp, require_cache=True)
