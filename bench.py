@@ -295,7 +295,11 @@ def bench_1m(recall_of_k=10):
     from rangefilteredann_tpu.models.prefilter import PrefilterIndex
 
     n, d, k = 1_000_000, 128, recall_of_k
-    rng = np.random.default_rng(7)  # EXACT tools/protocol_1m.make_data stream
+    # EXACT replica of the tools/protocol_1m.make_data rng stream (also in
+    # tools/r3_night.make_1m). If any copy drifts, the cache fingerprint
+    # check fails and require_cache=True below raises instead of silently
+    # cold-building for an hour inside the driver's bounded bench run.
+    rng = np.random.default_rng(7)
     centers = rng.normal(size=(1000, d)).astype(np.float32)
     points = (centers[rng.integers(0, 1000, n)]
               + 0.35 * rng.normal(size=(n, d))).astype(np.float32)
