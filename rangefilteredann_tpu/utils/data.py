@@ -132,14 +132,51 @@ def make_pointset(
     if points.dtype in (np.int8, np.uint8):
         return _make_int_pointset(points, metric, n, d, n_rows)
     dp = pad_dim(d + 1)  # + 1 slot for the fused ||x||^2 column (float path)
+    norm_col = d
+    if n_rows * dp * 4 > _STREAM_INGEST_BYTES:
+        return _make_float_pointset_streaming(
+            points, metric, n, d, n_rows, dp, norm_col, compute_dtype)
     host = np.zeros((n_rows, dp), dtype=np.float32)
     host[:n, :d] = points.astype(np.float32)
     norms = np.einsum("nd,nd->n", host, host).astype(np.float32)
-    norm_col = d
     host[:, norm_col] = norms
     data = jnp.asarray(host, dtype=compute_dtype)
     return PointSet(data=data, norms_sq=jnp.asarray(norms), n=n, d=d,
                     metric=metric, norm_col=norm_col)
+
+
+# Float stores above this size stream to the device in chunks: a single
+# multi-GB device_put reproducibly HANGS the axon tunnel (two 10M-point
+# ingests stalled with zero progress for 35+ min in round 3; the round-2
+# 12M uint8 ingest hit the same wall and was fixed the same way).
+_STREAM_INGEST_BYTES = int(1.5e9)
+
+
+def _make_float_pointset_streaming(points, metric, n, d, n_rows, dp,
+                                   norm_col, compute_dtype) -> PointSet:
+    """Chunked float ingest, bit-identical to the host-padded single-put
+    path: each chunk is padded + norm-columned on the HOST with the same
+    np.einsum, so only the transfer schedule differs. The device buffer is
+    a donated loop carry (in-place dynamic_update_slice)."""
+    data = jnp.zeros((n_rows, dp), dtype=compute_dtype)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def _putf(buf, chunk, lo):
+        return jax.lax.dynamic_update_slice(
+            buf, chunk.astype(compute_dtype), (lo, 0))
+
+    norms = np.zeros(n_rows, dtype=np.float32)
+    step = max(1, _STREAM_INGEST_BYTES // 8 // (dp * 4))
+    for lo in range(0, n, step):
+        hi = min(lo + step, n)
+        chunk = np.zeros((hi - lo, dp), dtype=np.float32)
+        chunk[:, :d] = points[lo:hi].astype(np.float32)
+        nrm = np.einsum("nd,nd->n", chunk, chunk).astype(np.float32)
+        chunk[:, norm_col] = nrm
+        norms[lo:hi] = nrm
+        data = _putf(data, jnp.asarray(chunk), jnp.int32(lo))
+    return PointSet(data=data, norms_sq=jnp.asarray(norms[:n_rows]),
+                    n=n, d=d, metric=metric, norm_col=norm_col)
 
 
 def _make_int_pointset(points, metric, n: int, d: int, n_rows: int) -> PointSet:
