@@ -284,8 +284,10 @@ def test_require_cache_guard(tmp_path, rng):
     np.testing.assert_array_equal(
         loaded._graph.nbrs_host, built._graph.nbrs_host)
 
-    # same shapes + label range, different content -> fingerprint mismatch
-    drifted = points.copy()
-    drifted[10] += 1.0
+    # same shapes + label range, different content -> fingerprint mismatch.
+    # Drift EVERY point: the fingerprint samples rows, so a single-point
+    # drift can dodge it (it did, under the session-scoped rng's
+    # order-dependent data).
+    drifted = points + 1.0
     with pytest.raises(FileNotFoundError):
         PostfilterVamanaIndex(drifted, labels, bp, require_cache=True)
