@@ -340,7 +340,15 @@ def phase_m1_grid():
         with open(out, "w") as f:
             f.write("\n".join(rows) + "\n")
 
-    # pass 2: tree methods (drop the flat inline blocks to make HBM room)
+    # pass 2: tree methods (drop the flat inline blocks to make HBM room).
+    # The 1M tree build is ~80 min cold (round-2 measured) and the per-
+    # fraction gates below only fire AFTER it — gate the build itself.
+    if left_min() < 95:
+        log(f"m1_grid: {left_min():.0f} min left < 95 — skipping pass 2 "
+            "(cold tree build would overrun the deadline)")
+        with open(out, "w") as f:
+            f.write("\n".join(rows) + "\n")
+        return
     idx._graph.nbr_vecs = None
     idx._graph.nbr_norms = None
     idx._graph.nbr_scale = None
