@@ -22,6 +22,7 @@ Deadline: env R3_DEADLINE (epoch secs), default now + 9 h.
 """
 
 import gc
+import glob
 import os
 import sys
 import time
@@ -270,6 +271,25 @@ def phase_m1_grid():
     FMS = (1, 2, 4)
     pre_qps = {}
 
+    # Resume: seed from a prior run's CSV so a restarted session never
+    # re-measures a (fraction, family) pair it already committed. Pass 1
+    # writes the file only after finishing a fraction, so per-(fexp,
+    # family) granularity is consistent.
+    done = set()
+    if os.path.exists(out):
+        with open(out) as f:
+            old = [ln.rstrip("\n") for ln in f if ln.strip()]
+        if old and old[0].startswith("filter_width"):
+            rows.extend(old[1:])
+            for ln in old[1:]:
+                cols = ln.split(",")
+                fexp_d = int(cols[0].split("-")[1])
+                fam = cols[1].split("_")[0]
+                done.add((fexp_d, fam))
+                if fam == "prefiltering":
+                    pre_qps[fexp_d] = float(cols[4])
+            log(f"m1_grid: resuming past {len(old) - 1} recorded rows")
+
     def sweep(tag_fmt, fn_of, fexp, gt_sets, max_beam=320):
         """Reference early-stop (run_our_method.py:187-207): stop raising
         beam on recall ~1, plateau, or slower-than-prefilter."""
@@ -323,18 +343,24 @@ def phase_m1_grid():
     # pass 1: prefilter rows + flat postfiltering (inline blocks resident)
     gts = {}
     for fexp in range(0, 17):
+        want_flat = fexp <= 6 and (fexp, "postfiltering") not in done
+        if (fexp, "prefiltering") in done and not want_flat:
+            continue  # fully recorded by a prior run
         if left_min() < 25:
             log("m1_grid: deadline squeeze — stopping pass 1")
             break
         filters = frac_data[fexp]
-        gts[fexp] = gt_for(fexp)
-        (ids, d), dt = timed_search(lambda: pre.batch_search(
-            queries, filters, NQ, qp10))
-        pre_qps[fexp] = NQ / dt
-        rows.append(f"2pow-{fexp},prefiltering,1.0000,{dt/NQ:.8f},"
-                    f"{NQ/dt:.1f},1")
-        log(f"m1_grid 2^-{fexp} prefiltering: qps={NQ/dt:.0f}")
-        if fexp <= 6:
+        if (fexp, "prefiltering") not in done:
+            gts[fexp] = gt_for(fexp)
+            (ids, d), dt = timed_search(lambda: pre.batch_search(
+                queries, filters, NQ, qp10))
+            pre_qps[fexp] = NQ / dt
+            rows.append(f"2pow-{fexp},prefiltering,1.0000,{dt/NQ:.8f},"
+                        f"{NQ/dt:.1f},1")
+            log(f"m1_grid 2^-{fexp} prefiltering: qps={NQ/dt:.0f}")
+        if want_flat:
+            if fexp not in gts:
+                gts[fexp] = gt_for(fexp)
             sweep("postfiltering", lambda qp, f=filters: idx.batch_search(
                 queries, f, NQ, qp), fexp, gts[fexp])
         with open(out, "w") as f:
@@ -342,10 +368,14 @@ def phase_m1_grid():
 
     # pass 2: tree methods (drop the flat inline blocks to make HBM room).
     # The 1M tree build is ~80 min cold (round-2 measured) and the per-
-    # fraction gates below only fire AFTER it — gate the build itself.
-    if left_min() < 95:
-        log(f"m1_grid: {left_min():.0f} min left < 95 — skipping pass 2 "
-            "(cold tree build would overrun the deadline)")
+    # fraction gates below only fire AFTER it — gate the build itself,
+    # unless the deepest row cache exists (warm load is minutes, not 80).
+    tree_cached = bool(glob.glob(
+        os.path.join("bench_cache", "wst_*_1000000_2_1000_row10.npz")))
+    gate = 40 if tree_cached else 95
+    if left_min() < gate:
+        log(f"m1_grid: {left_min():.0f} min left < {gate} — skipping pass 2 "
+            f"(tree row caches {'warm' if tree_cached else 'cold'})")
         with open(out, "w") as f:
             f.write("\n".join(rows) + "\n")
         return
@@ -355,7 +385,13 @@ def phase_m1_grid():
     gc.collect()
     tree = RangeFilterTreeIndex(points, labels, cutoff=1000, split_factor=2,
                                 build_params=bp)
+    tree_fams = (("vamana-tree", "fenwick"),
+                 ("optimized-postfiltering", "optimized_postfilter"),
+                 ("three-split", "three_split"))
     for fexp in range(0, 17):
+        pending = [t for t, _ in tree_fams if (fexp, t) not in done]
+        if not pending:
+            continue
         if left_min() < 15:
             log("m1_grid: deadline squeeze — stopping pass 2")
             break
@@ -363,14 +399,11 @@ def phase_m1_grid():
             gts[fexp] = gt_for(fexp)
             pre_qps.setdefault(fexp, 1e9)
         filters = frac_data[fexp]
-        sweep("vamana-tree", lambda qp, f=filters: tree.batch_search(
-            queries, f, NQ, "fenwick", qp), fexp, gts[fexp])
-        sweep("optimized-postfiltering",
-              lambda qp, f=filters: tree.batch_search(
-                  queries, f, NQ, "optimized_postfilter", qp),
-              fexp, gts[fexp])
-        sweep("three-split", lambda qp, f=filters: tree.batch_search(
-            queries, f, NQ, "three_split", qp), fexp, gts[fexp])
+        for tag, method in tree_fams:
+            if tag not in pending:
+                continue
+            sweep(tag, lambda qp, f=filters, m=method: tree.batch_search(
+                queries, f, NQ, m, qp), fexp, gts[fexp])
         with open(out, "w") as f:
             f.write("\n".join(rows) + "\n")
     log(f"m1_grid: wrote {out}")
