@@ -235,8 +235,14 @@ class RangeFilterTreeIndex:
                         break
                     g = cand[r]
                     to_shard.append(r)
-                    # per-device slice: point rows + norms + adjacency
-                    shard_pd += g.m * (d_pad * item + 4 + g.R * 4) // D
+                    # per-device slice: point rows + norms + adjacency,
+                    # sized from the POST-PACKING rows-per-device (every
+                    # device pads to the max shard; bucket skew makes that
+                    # exceed m/D — round-3 advisor finding)
+                    from ..parallel.sharded import shard_plan_rows_per_device
+
+                    ms = shard_plan_rows_per_device(g, D)
+                    shard_pd += ms * (d_pad * item + 4 + g.R * 4)
                     del repl[r]
             if to_shard:
                 # one host fetch serves every row (a per-row np.asarray of

@@ -60,6 +60,9 @@ class SlabGraph:
     nbr_norms: Optional[jax.Array] = None  # [m, R] their ||x||^2
     nbr_scale: Optional[jax.Array] = None  # [m] dequant scales when nbr_vecs
     # is an int8 QUANTIZATION of a float store (None = vectors are exact)
+    nbr_meta: Optional[jax.Array] = None  # [m, 128] packed norms+ids rows
+    # for the fused Pallas beam kernel (ops/pallas_beam.build_meta); built
+    # lazily on first Pallas-eligible search
 
     @property
     def inline_dtype(self):
@@ -99,6 +102,7 @@ class SlabGraph:
         self.nbr_vecs = None
         self.nbr_norms = None
         self.nbr_scale = None
+        self.nbr_meta = None
 
     def device_bytes(self) -> int:
         b = self.m * self.R * 4 + self.m * 4

@@ -238,6 +238,62 @@ def _merge_frontier_cands_path(f_ids, f_d, f_e, c_ids, c_d, beam):
     return o_i, o_d, o_e
 
 
+# Fused Pallas beam kernel routing (ops/pallas_beam.py). The kernel is
+# exact-parity for the query configuration it supports; beams past the cap
+# fall back to the XLA path (insertion cost grows with the lane width).
+PALLAS_BEAM = os.environ.get("RFANN_PALLAS_BEAM", "1") != "0"
+PALLAS_MAX_BEAM = int(os.environ.get("RFANN_PALLAS_MAX_BEAM", "512"))
+
+
+def pallas_beam_eligible(graph, beam, expand, degree_limit, metric,
+                         exclude=None, k=0, mesh=None) -> bool:
+    """True when the fused Pallas kernel covers this search exactly:
+    query-mode (k=0 — no cut pruning), single expansion, full adjacency
+    rows, fp32 inline blocks with R <= 64, no exclusion, single device."""
+    if not PALLAS_BEAM or mesh is not None:
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    if graph.nbr_vecs is None or graph.nbr_scale is not None:
+        return False
+    if graph.nbr_vecs.dtype != jnp.float32 or graph.nbrs_dev.shape[1] > 64:
+        return False
+    return (expand == 1 and degree_limit == 0 and k == 0
+            and exclude is None and beam <= PALLAS_MAX_BEAM
+            and metric in ("l2", "mips"))
+
+
+def pallas_beam_search(
+    ps, graph, queries, starts, *, beam, limit, metric, active_in,
+) -> BeamResult:
+    """Run the fused Pallas kernel with the XLA-path init semantics
+    (start distance computed exactly as batched_beam_search's init —
+    see `d0` below) and return a BeamResult (visited arrays empty)."""
+    from .pallas_beam import build_meta, pallas_beam_search_inline
+
+    if getattr(graph, "nbr_meta", None) is None:
+        graph.nbr_meta = build_meta(graph.nbrs_dev, graph.nbr_norms)
+    w = graph.nbr_vecs.shape[2]
+    m = graph.nbrs_dev.shape[0]
+    start_safe = jnp.clip(starts, 0, m - 1)
+    start_gid = (start_safe if graph.identity_s2g
+                 else graph.slab_to_global_dev[start_safe])
+    norm_col = ps.norm_col if ps.norm_col >= 0 else None
+    if norm_col is not None:
+        d0 = fused_norm_distances(
+            ps.data[start_gid][:, None, :], queries, metric, norm_col)[:, 0]
+    else:
+        d0 = gathered_distances(
+            queries, ps.data[start_gid][:, None, :],
+            ps.norms_sq[start_gid][:, None], metric)[:, 0]
+    f_ids, f_d, n_vis, cmps = pallas_beam_search_inline(
+        graph.nbr_vecs, graph.nbr_meta, queries[:, :w],
+        starts, d0, active_in,
+        beam=int(beam), limit=int(limit), metric=metric)
+    return BeamResult(f_ids, f_d, n_vis, cmps,
+                      f_ids[:, :0], f_d[:, :0])
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

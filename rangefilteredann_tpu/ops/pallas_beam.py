@@ -1,0 +1,290 @@
+"""Pallas TPU kernel: fused batched beam search over inline neighbor blocks.
+
+The XLA beam search (ops/beam_search.batched_beam_search) runs ONE
+lax.while_loop step per expanded node, and every step pays several
+XLA-level ops over [Q, B]/[Q, R, w] operands — gathers, a merge sort (or
+merge-path compare network), masks — each a separate HLO with its own HBM
+round trip for the big gather. Measured effective rate: ~14 GFLOP/s at
+200k/beam 40 (round-3 verdict weak #1). This kernel fuses the whole search
+loop into one Pallas program: frontiers live in VMEM for the entire search,
+each step issues per-query async DMAs for the expanded node's inline
+[R, w] vector block + a packed meta row (neighbor ids/norms), computes the
+R candidate distances with one MXU matmul, and merges candidates into the
+sorted frontier with an insertion pass. HBM traffic per step is exactly the
+R*w*4 bytes of the blocks touched — the algorithmic minimum.
+
+Semantics are EXACT XLA-path parity for the supported configuration
+(expand=1, k=0 i.e. no cut pruning, no exclude, no degree_limit, fp32
+inline blocks — the query path of every postfilter/tree search):
+
+  * selection: min (dist, id) unexplored frontier slot == first unexplored
+    slot of the (dist, id)-sorted XLA frontier (beamSearch.h:108 order).
+  * candidate filter: STRICT `cand_dist < worst-of-full-frontier` against
+    the PRE-STEP frontier tail (ref: beamSearch.h:133-144; the XLA path
+    drops dist-ties with the old worst even when the id would win a sort).
+  * merge: sequential (dist, id)-lexicographic insertion against the
+    CURRENT tail reproduces the batch top-B merge exactly (streaming top-B
+    == batch top-B; dup-by-id keeps the frontier copy, matching
+    explored-copy priority).
+
+The frontier layout is [QB queries (sublanes), B beam slots (lanes)],
+kept (dist, id)-sorted ascending — so the kernel's output frontier needs
+no post-sort and feeds window_filter_topk directly.
+
+Distance trick (per-query candidate blocks can't share one matmul): the
+per-query [R, w] blocks land side by side in a [R, QB*w] scratch; one
+elementwise multiply against the lane-concatenated query row [1, QB*w]
+and one MXU matmul with the in-kernel 0/1 block-segment matrix
+S[c, i] = (c // w == i) reduce each query's own w lanes — a block-diagonal
+batched matvec as one dense matmul, with no cross-lane reshapes (Mosaic
+rejects those; CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils.data import METRIC_L2, METRIC_MIPS
+
+EMPTY_ID = 2**31 - 1  # plain int: jnp consts are rejected as kernel captures
+
+QB = 64  # queries per grid block (DMA parallelism vs VMEM for S/V scratch)
+
+
+def meta_width(r: int) -> int:
+    """Lanes of the packed meta row: [norms 0:R | ids 64:64+R] for R <= 64."""
+    if r > 64:
+        raise ValueError(f"meta packing supports R <= 64, got {r}")
+    return 128
+
+
+def build_meta(nbrs: jax.Array, nbr_norms: jax.Array) -> jax.Array:
+    """Pack per-node neighbor norms + ids into one [m, 128] f32 row so each
+    expansion fetches ONE meta DMA besides the vector block. ids are stored
+    bitcast (f32 view of int32); -1 padding survives the round trip."""
+    m, r = nbrs.shape
+    w = meta_width(r)
+    meta = jnp.zeros((m, w), dtype=jnp.float32)
+    meta = meta.at[:, :r].set(nbr_norms.astype(jnp.float32))
+    meta = meta.at[:, 64:64 + r].set(
+        jax.lax.bitcast_convert_type(nbrs.astype(jnp.int32), jnp.float32))
+    return meta
+
+
+def _beam_kernel(qcat_ref, starts_ref, d0_ref, act_ref,
+                 vecs_hbm, meta_hbm,
+                 fd_ref, fid_ref, nvis_ref, cmps_ref,
+                 v_scr, prod_scr, s_scr, meta_scr, cur_scr, fe_scr,
+                 dma_sems,
+                 *, beam, r, w, limit, metric, m):
+    r_pad = v_scr.shape[0]
+
+    # --- one-time per block: S segment matrix + frontier init ---
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (QB * w, QB), 0)
+    iota_i = jax.lax.broadcasted_iota(jnp.int32, (QB * w, QB), 1)
+    s_scr[:] = ((iota_c // w) == iota_i).astype(jnp.float32)
+    if r_pad > r:
+        # rows r..r_pad of V are never DMA'd — zero once so prod stays finite
+        v_scr[pl.ds(r, r_pad - r), :] = jnp.zeros(
+            (r_pad - r, v_scr.shape[1]), jnp.float32)
+
+    act = act_ref[:] != 0  # [QB, 1]
+    iota_b = jax.lax.broadcasted_iota(jnp.int32, (QB, beam), 1)
+    slot0 = iota_b == 0
+    fd_ref[:] = jnp.where(slot0 & act, d0_ref[:], jnp.inf)
+    fid_ref[:] = jnp.where(slot0 & act, starts_ref[:], EMPTY_ID)
+    fe_scr[:] = jnp.zeros((QB, beam), jnp.int32)
+    nvis_ref[:] = jnp.zeros((QB, 1), jnp.int32)
+    cmps_ref[:] = jnp.where(act, 1, 0).astype(jnp.int32)
+
+    def cond(carry):
+        return carry != 0
+
+    def body(carry):
+        fd = fd_ref[:]
+        fid = fid_ref[:]
+        fe = fe_scr[:]
+
+        # --- select the min-(dist, id) unexplored slot per query ---
+        unexp = (fe == 0) & (fid != EMPTY_ID)
+        active = (jnp.any(unexp, axis=1, keepdims=True)
+                  & (nvis_ref[:] < limit))  # [QB, 1]
+        md = jnp.min(jnp.where(unexp, fd, jnp.inf), axis=1, keepdims=True)
+        hit_d = unexp & (fd == md)
+        mi = jnp.min(jnp.where(hit_d, fid, EMPTY_ID), axis=1, keepdims=True)
+        hit = hit_d & (fid == mi)  # exactly one slot (ids unique)
+        fe_scr[:] = jnp.where(hit & active, 1, fe)
+        nvis_ref[:] = nvis_ref[:] + active.astype(jnp.int32)
+        cur_scr[:, 0:1] = jnp.clip(jnp.where(active, mi, 0), 0, m - 1)
+
+        # --- per-query DMAs: inline vector block + packed meta row ---
+        copies = []
+        for i in range(QB):
+            idx = cur_scr[i, 0]
+            cp_v = pltpu.make_async_copy(
+                vecs_hbm.at[idx],
+                v_scr.at[pl.ds(0, r), pl.ds(i * w, w)],
+                dma_sems.at[0],
+            )
+            cp_m = pltpu.make_async_copy(
+                meta_hbm.at[idx], meta_scr.at[i], dma_sems.at[1])
+            cp_v.start()
+            cp_m.start()
+            copies.append((cp_v, cp_m))
+        for cp_v, cp_m in copies:
+            cp_v.wait()
+            cp_m.wait()
+
+        # --- distances: one elementwise + one MXU segment-sum matmul ---
+        prod_scr[:] = v_scr[:] * qcat_ref[:]  # [R_pad, QB*w] (bcast row)
+        ips_t = jax.lax.dot_general(  # [R_pad, QB]
+            prod_scr[:], s_scr[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        ips = ips_t.T  # [QB, R_pad]
+        nrm = meta_scr[:, :r]  # [QB, R]
+        cids = jax.lax.bitcast_convert_type(
+            meta_scr[:, 64:64 + r], jnp.int32)  # [QB, R]
+        if metric == METRIC_L2:
+            cd_all = nrm - 2.0 * ips[:, :r]
+        else:  # MIPS
+            cd_all = -ips[:, :r]
+        valid = (cids >= 0) & active
+        cmps_ref[:] = cmps_ref[:] + jnp.sum(
+            valid, axis=1, keepdims=True).astype(jnp.int32)
+        cd_all = jnp.where(valid, cd_all, jnp.inf)
+        cids = jnp.where(valid, cids, EMPTY_ID)
+
+        # --- sequential exact insertion of the R candidates ---
+        # strict filter vs the PRE-STEP worst (XLA/ref parity: ties with the
+        # old worst drop), lexicographic (dist, id) vs the CURRENT tail
+        wd0 = fd_ref[:, beam - 1:beam]  # pre-step tail dist
+        for j in range(r):
+            cd = cd_all[:, j:j + 1]
+            cid = cids[:, j:j + 1]
+            fd = fd_ref[:]
+            fid = fid_ref[:]
+            fe = fe_scr[:]
+            dup = jnp.any(fid == cid, axis=1, keepdims=True)
+            tail_d = fd[:, beam - 1:beam]
+            tail_i = fid[:, beam - 1:beam]
+            lex_lt = (cd < tail_d) | ((cd == tail_d) & (cid < tail_i))
+            ok = (cid != EMPTY_ID) & ~dup & (cd < wd0) & lex_lt  # [QB, 1]
+            # sorted insertion (ties: candidate goes after equal (d, id<cid))
+            stay = (fd < cd) | ((fd == cd) & (fid <= cid))
+            pos = jnp.sum(stay.astype(jnp.int32), axis=1, keepdims=True)
+            is_pos = iota_b == pos
+            prev_d = jnp.concatenate([fd[:, :1], fd[:, :-1]], axis=1)
+            prev_i = jnp.concatenate([fid[:, :1], fid[:, :-1]], axis=1)
+            prev_e = jnp.concatenate([fe[:, :1], fe[:, :-1]], axis=1)
+            nd = jnp.where(stay, fd, jnp.where(is_pos, cd, prev_d))
+            ni = jnp.where(stay, fid, jnp.where(is_pos, cid, prev_i))
+            ne = jnp.where(stay, fe, jnp.where(is_pos, 0, prev_e))
+            fd_ref[:] = jnp.where(ok, nd, fd)
+            fid_ref[:] = jnp.where(ok, ni, fid)
+            fe_scr[:] = jnp.where(ok, ne, fe)
+
+        still = ((fe_scr[:] == 0) & (fid_ref[:] != EMPTY_ID)
+                 ).any(axis=1, keepdims=True) & (nvis_ref[:] < limit)
+        return jnp.any(still).astype(jnp.int32)
+
+    jax.lax.while_loop(cond, body, jnp.int32(1))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("beam", "limit", "metric", "interpret"),
+)
+def pallas_beam_search_inline(
+    nbr_vecs: jax.Array,  # [m, R, w] fp32 inline neighbor vectors
+    meta: jax.Array,  # [m, 128] packed norms+ids (build_meta)
+    queries: jax.Array,  # [Q, w] f32 (exactly the inline width)
+    starts: jax.Array,  # [Q] int32 slab start ids
+    d0: jax.Array,  # [Q] f32 start-node distances (computed by caller,
+    # identical formula to the XLA init — ops/beam_search.py:316-319)
+    active: jax.Array,  # [Q] bool
+    *,
+    beam: int,
+    limit: int,
+    metric: str,
+    interpret: bool = False,
+):
+    """Fused beam search over inline blocks. Returns (f_ids [Q, beam] i32,
+    f_d [Q, beam] f32, n_vis [Q] i32, cmps [Q] i32) with the frontier
+    (dist, id)-sorted ascending — the XLA batched_beam_search contract for
+    the supported (expand=1, k=0) configuration. Q must be a QB multiple."""
+    if metric not in (METRIC_L2, METRIC_MIPS):
+        raise ValueError(metric)
+    m, r, w = nbr_vecs.shape
+    q = queries.shape[0]
+    assert q % QB == 0, f"Q={q} must be a multiple of QB={QB}"
+    assert queries.shape[1] == w
+    n_blocks = q // QB
+    r_pad = -(-r // 8) * 8
+
+    qcat = queries.reshape(n_blocks, QB * w)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, QB * w), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((QB, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((QB, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((QB, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  #vecs stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  #meta stays in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((QB, beam), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((QB, beam), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((QB, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((QB, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((r_pad, QB * w), jnp.float32),  # V: vector blocks
+            pltpu.VMEM((r_pad, QB * w), jnp.float32),  # prod
+            pltpu.VMEM((QB * w, QB), jnp.float32),  # S segment matrix
+            pltpu.VMEM((QB, meta.shape[1]), jnp.float32),  # meta rows
+            pltpu.VMEM((QB, 128), jnp.int32),  # cur node ids
+            pltpu.VMEM((QB, beam), jnp.int32),  # explored flags
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kern = functools.partial(
+        _beam_kernel, beam=beam, r=r, w=w, limit=int(limit),
+        metric=metric, m=m)
+    fd, fid, nvis, cmps = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((q, beam), jnp.float32),
+            jax.ShapeDtypeStruct((q, beam), jnp.int32),
+            jax.ShapeDtypeStruct((q, 1), jnp.int32),
+            jax.ShapeDtypeStruct((q, 1), jnp.int32),
+        ],
+        # TPU interpret mode (CPU) emulates the async DMAs + semaphores;
+        # plain interpret=True does not
+        interpret=pltpu.InterpretParams() if interpret else False,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(
+        qcat,
+        starts.astype(jnp.int32)[:, None],
+        d0.astype(jnp.float32)[:, None],
+        active.astype(jnp.int32)[:, None],
+        nbr_vecs,
+        meta,
+    )
+    return fid, fd, nvis[:, 0], cmps[:, 0]

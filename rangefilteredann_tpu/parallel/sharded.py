@@ -146,6 +146,19 @@ class ShardedGraphRow:
         return int(np.prod(self.mesh.devices.shape))
 
 
+def shard_plan_rows_per_device(graph, n_devices: int) -> int:
+    """Post-packing rows-per-device (ms) that shard_graph_row would use for
+    this row: the SAME greedy bin-pack over bucket sizes, without building
+    the shards. Budget planners must size per-device bytes from this (every
+    device pads to ms >= m/D; bucket skew can push ms well above m/D)."""
+    off = np.asarray(graph.bucket_slab_offsets, dtype=np.int64)
+    sizes = np.diff(off)
+    load = np.zeros(n_devices, dtype=np.int64)
+    for b in np.argsort(-sizes, kind="stable"):
+        load[int(np.argmin(load))] += sizes[b]
+    return int(-(-load.max() // 8) * 8)
+
+
 def shard_graph_row(ps, graph, mesh: Mesh,
                     data_host=None, norms_host=None) -> ShardedGraphRow:
     """Bucket-shard a SlabGraph row: greedy size-balanced assignment of whole

@@ -281,13 +281,40 @@ def phase_m1_grid():
             old = [ln.rstrip("\n") for ln in f if ln.strip()]
         if old and old[0].startswith("filter_width"):
             rows.extend(old[1:])
+            # A (fexp, family) is done only if its recorded sweep actually
+            # ENDED (recall>=0.999, the full grid exhausted, or the plateau
+            # rule fired on its last row) — a sweep cut short by a transient
+            # tunnel error must be re-attempted on resume (round-3 advisor).
+            from collections import defaultdict
+
+            fam_rows = defaultdict(list)  # CSV order == sweep order
             for ln in old[1:]:
                 cols = ln.split(",")
                 fexp_d = int(cols[0].split("-")[1])
                 fam = cols[1].split("_")[0]
-                done.add((fexp_d, fam))
-                if fam == "prefiltering":
+                if fam == "prefiltering":  # single-row: present == complete
+                    done.add((fexp_d, fam))
                     pre_qps[fexp_d] = float(cols[4])
+                    continue
+                parts = cols[1].split("_")
+                fam_rows[(fexp_d, fam)].append(
+                    (int(parts[1]), int(parts[2]) if len(parts) > 2 else 1,
+                     float(cols[2]), float(cols[4])))
+            for key, rs in fam_rows.items():
+                best_before_last = max(
+                    (r[2] for r in rs[:-1]), default=0.0)
+                beam_l, fm_l, rec_l, qps_l = rs[-1]
+                ended = (
+                    rec_l >= 0.999
+                    or (beam_l >= BEAMS[-1] and fm_l >= FMS[-1])
+                    or (rec_l < best_before_last + 0.001
+                        and qps_l < pre_qps.get(key[0], 0.0)))
+                if ended:
+                    done.add(key)
+                else:
+                    log(f"m1_grid: sweep 2^-{key[0]} {key[1]} looks "
+                        f"interrupted (last row beam={beam_l} fm={fm_l} "
+                        f"rec={rec_l:.4f}) — will re-run")
             log(f"m1_grid: resuming past {len(old) - 1} recorded rows")
 
     def sweep(tag_fmt, fn_of, fexp, gt_sets, max_beam=320):
