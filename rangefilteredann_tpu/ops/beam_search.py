@@ -254,9 +254,13 @@ def pallas_beam_eligible(graph, beam, expand, degree_limit, metric,
         return False
     if jax.default_backend() != "tpu":
         return False
-    if graph.nbr_vecs is None or graph.nbr_scale is not None:
+    if graph.nbr_vecs is None or graph.nbrs_dev.shape[1] > 64:
         return False
-    if graph.nbr_vecs.dtype != jnp.float32 or graph.nbrs_dev.shape[1] > 64:
+    dt = graph.nbr_vecs.dtype
+    if dt == jnp.int8:
+        if graph.nbr_scale is None:
+            return False  # native-int8 exact inline stays on the XLA path
+    elif dt not in (jnp.float32, jnp.bfloat16):
         return False
     return (expand == 1 and degree_limit == 0 and k == 0
             and exclude is None and beam <= PALLAS_MAX_BEAM
@@ -272,7 +276,8 @@ def pallas_beam_search(
     from .pallas_beam import build_meta, pallas_beam_search_inline
 
     if getattr(graph, "nbr_meta", None) is None:
-        graph.nbr_meta = build_meta(graph.nbrs_dev, graph.nbr_norms)
+        graph.nbr_meta = build_meta(
+            graph.nbrs_dev, graph.nbr_norms, graph.nbr_scale)
     w = graph.nbr_vecs.shape[2]
     m = graph.nbrs_dev.shape[0]
     start_safe = jnp.clip(starts, 0, m - 1)

@@ -56,22 +56,32 @@ EMPTY_ID = 2**31 - 1  # plain int: jnp consts are rejected as kernel captures
 QB = 64  # queries per grid block (DMA parallelism vs VMEM for S/V scratch)
 
 
-def meta_width(r: int) -> int:
-    """Lanes of the packed meta row: [norms 0:R | ids 64:64+R] for R <= 64."""
+def meta_layout(r: int, quant: bool):
+    """(width, ids_lane_offset) of the packed meta row.
+
+    fp32/bf16 blocks: [norms 0:R | ids 64:64+R], 128 lanes (R <= 64).
+    int8-quantized:   [norms 0:R | scale @64 | ids 128:128+R], 256 lanes
+    (R = 64 fills lanes 0:64 with norms, so the scale needs the next group).
+    """
     if r > 64:
         raise ValueError(f"meta packing supports R <= 64, got {r}")
-    return 128
+    if quant:
+        return 256, 128
+    return 128, 64
 
 
-def build_meta(nbrs: jax.Array, nbr_norms: jax.Array) -> jax.Array:
-    """Pack per-node neighbor norms + ids into one [m, 128] f32 row so each
-    expansion fetches ONE meta DMA besides the vector block. ids are stored
-    bitcast (f32 view of int32); -1 padding survives the round trip."""
+def build_meta(nbrs: jax.Array, nbr_norms: jax.Array,
+               nbr_scale: "jax.Array | None" = None) -> jax.Array:
+    """Pack per-node neighbor norms + ids (+ dequant scale) into one f32 row
+    so each expansion fetches ONE meta DMA besides the vector block. ids are
+    stored bitcast (f32 view of int32); -1 padding survives the round trip."""
     m, r = nbrs.shape
-    w = meta_width(r)
+    w, ids_at = meta_layout(r, nbr_scale is not None)
     meta = jnp.zeros((m, w), dtype=jnp.float32)
     meta = meta.at[:, :r].set(nbr_norms.astype(jnp.float32))
-    meta = meta.at[:, 64:64 + r].set(
+    if nbr_scale is not None:
+        meta = meta.at[:, 64].set(nbr_scale.astype(jnp.float32))
+    meta = meta.at[:, ids_at:ids_at + r].set(
         jax.lax.bitcast_convert_type(nbrs.astype(jnp.int32), jnp.float32))
     return meta
 
@@ -81,7 +91,7 @@ def _beam_kernel(qcat_ref, starts_ref, d0_ref, act_ref,
                  fd_ref, fid_ref, nvis_ref, cmps_ref,
                  v_scr, prod_scr, s_scr, meta_scr, cur_scr, fe_scr,
                  dma_sems,
-                 *, beam, r, w, limit, metric, m):
+                 *, beam, r, w, limit, metric, m, ids_at, quant):
     r_pad = v_scr.shape[0]
 
     # --- one-time per block: S segment matrix + frontier init ---
@@ -91,7 +101,7 @@ def _beam_kernel(qcat_ref, starts_ref, d0_ref, act_ref,
     if r_pad > r:
         # rows r..r_pad of V are never DMA'd — zero once so prod stays finite
         v_scr[pl.ds(r, r_pad - r), :] = jnp.zeros(
-            (r_pad - r, v_scr.shape[1]), jnp.float32)
+            (r_pad - r, v_scr.shape[1]), v_scr.dtype)
 
     act = act_ref[:] != 0  # [QB, 1]
     iota_b = jax.lax.broadcasted_iota(jnp.int32, (QB, beam), 1)
@@ -140,8 +150,12 @@ def _beam_kernel(qcat_ref, starts_ref, d0_ref, act_ref,
             cp_v.wait()
             cp_m.wait()
 
-        # --- distances: one elementwise + one MXU segment-sum matmul ---
-        prod_scr[:] = v_scr[:] * qcat_ref[:]  # [R_pad, QB*w] (bcast row)
+        # --- distances: one elementwise + one MXU segment-sum matmul.
+        # int8 blocks upcast to f32 (exact); the wrapper pre-rounds the
+        # query row to bf16 for quant blocks, so every product matches the
+        # XLA path's bf16xbf16 -> f32 MXU products exactly; HIGHEST keeps
+        # the f32 segment sums exact. ---
+        prod_scr[:] = v_scr[:].astype(jnp.float32) * qcat_ref[:]
         ips_t = jax.lax.dot_general(  # [R_pad, QB]
             prod_scr[:], s_scr[:],
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -151,8 +165,12 @@ def _beam_kernel(qcat_ref, starts_ref, d0_ref, act_ref,
         ips = ips_t.T  # [QB, R_pad]
         nrm = meta_scr[:, :r]  # [QB, R]
         cids = jax.lax.bitcast_convert_type(
-            meta_scr[:, 64:64 + r], jnp.int32)  # [QB, R]
-        if metric == METRIC_L2:
+            meta_scr[:, ids_at:ids_at + r], jnp.int32)  # [QB, R]
+        if quant:
+            # x ~= scale[node] * x_hat (per expanded node, broadcast per row)
+            sip = meta_scr[:, 64:65] * ips[:, :r]
+            cd_all = nrm - 2.0 * sip if metric == METRIC_L2 else -sip
+        elif metric == METRIC_L2:
             cd_all = nrm - 2.0 * ips[:, :r]
         else:  # MIPS
             cd_all = -ips[:, :r]
@@ -203,8 +221,8 @@ def _beam_kernel(qcat_ref, starts_ref, d0_ref, act_ref,
     static_argnames=("beam", "limit", "metric", "interpret"),
 )
 def pallas_beam_search_inline(
-    nbr_vecs: jax.Array,  # [m, R, w] fp32 inline neighbor vectors
-    meta: jax.Array,  # [m, 128] packed norms+ids (build_meta)
+    nbr_vecs: jax.Array,  # [m, R, w] inline neighbor vectors (f32/bf16/int8)
+    meta: jax.Array,  # [m, 128|256] packed norms+ids(+scale) (build_meta)
     queries: jax.Array,  # [Q, w] f32 (exactly the inline width)
     starts: jax.Array,  # [Q] int32 slab start ids
     d0: jax.Array,  # [Q] f32 start-node distances (computed by caller,
@@ -228,7 +246,16 @@ def pallas_beam_search_inline(
     assert queries.shape[1] == w
     n_blocks = q // QB
     r_pad = -(-r // 8) * 8
+    quant = meta.shape[1] == 256
+    _, ids_at = meta_layout(r, quant)
 
+    if nbr_vecs.dtype in (jnp.int8, jnp.uint8):
+        # int8 blocks: the XLA path runs these as bf16 MXU passes
+        # (ops/distances.mxu_operands), which rounds the QUERY to bf16 too —
+        # pre-round here so every product bit-matches. bf16 STORAGE blocks
+        # instead upcast to f32 before the XLA matmul (query unrounded), so
+        # they take the plain f32 path here.
+        queries = queries.astype(jnp.bfloat16).astype(jnp.float32)
     qcat = queries.reshape(n_blocks, QB * w)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -252,7 +279,7 @@ def pallas_beam_search_inline(
             pl.BlockSpec((QB, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((r_pad, QB * w), jnp.float32),  # V: vector blocks
+            pltpu.VMEM((r_pad, QB * w), nbr_vecs.dtype),  # V: vector blocks
             pltpu.VMEM((r_pad, QB * w), jnp.float32),  # prod
             pltpu.VMEM((QB * w, QB), jnp.float32),  # S segment matrix
             pltpu.VMEM((QB, meta.shape[1]), jnp.float32),  # meta rows
@@ -263,7 +290,7 @@ def pallas_beam_search_inline(
     )
     kern = functools.partial(
         _beam_kernel, beam=beam, r=r, w=w, limit=int(limit),
-        metric=metric, m=m)
+        metric=metric, m=m, ids_at=ids_at, quant=quant)
     fd, fid, nvis, cmps = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
