@@ -374,6 +374,12 @@ class PostfilterVamanaIndex:
         *,
         seed: int = 0,
         require_cache: bool = False,
+        start_point: str = "zero",  # "zero" (reference parity: searches
+        # start at vertex 0, ref postfilter_vamana.h:226-227) or "medoid"
+        # (centroid-closest point: fewer doubling rounds in beam-hungry
+        # regimes like MIPS — round-3 verdict item 5). Env RFANN_START
+        # overrides. Query-time only: builds are unaffected, so graph
+        # caches stay shared between the two settings.
     ):
         bp = build_params or BuildParams()
         self._require_cache = require_cache
@@ -390,6 +396,18 @@ class PostfilterVamanaIndex:
         self._fp = cache_fingerprint(self._labels_sorted, pts_sorted)
         self._graph = self._load_or_build(bp, n, seed)
         maybe_attach_inline(self._graph, self._ps)
+        start_point = os.environ.get("RFANN_START", start_point)
+        if start_point == "medoid":
+            # centroid-closest point in the label-sorted order (ParlayANN's
+            # approximate-medoid start rule) — one host pass over the store
+            mean = pts_sorted.astype(np.float64).mean(axis=0)
+            d = (np.einsum("ij,ij->i", pts_sorted, pts_sorted)
+                 - 2.0 * (pts_sorted @ mean))
+            self._start = int(np.argmin(d))
+        elif start_point == "zero":
+            self._start = 0
+        else:
+            raise ValueError(f"start_point must be zero|medoid: {start_point}")
 
     # --- graph cache (ref: postfilter_vamana.h:54-79,126-138) ---
     def _cache_file(self, bp: BuildParams, n: int) -> Optional[str]:
@@ -461,7 +479,8 @@ class PostfilterVamanaIndex:
         win_hi = np.maximum(
             win_hi, np.searchsorted(self._labels_sorted, filters[:, 1], side="right")
         )
-        starts = np.zeros(num_queries, dtype=np.int32)  # search starts at vertex 0
+        # search start: vertex 0 (reference parity) or the medoid (opt-in)
+        starts = np.full(num_queries, self._start, dtype=np.int32)
         ids, dists = doubling_postfilter(
             self._ps, self._graph, qp_pad, q_norms, starts,
             win_lo, win_hi, query_params, self._ps.metric, stats=stats,

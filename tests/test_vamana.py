@@ -105,6 +105,46 @@ def test_postfilter_vamana_recall(rng, gt_fn, metric):
     assert recall > 0.85, f"postfilter recall {recall} ({metric})"
 
 
+def test_postfilter_medoid_start(rng, gt_fn):
+    """start_point='medoid' (round-3 verdict item 5): starts every search at
+    the centroid-closest point instead of vertex 0. Query-time-only knob —
+    same graph, recall must stay in the same band as zero-start."""
+    n, d, k, nq = 2000, 16, 10, 40
+    points = rng.normal(size=(n, d)).astype(np.float32)
+    points /= np.linalg.norm(points, axis=1, keepdims=True)
+    labels = rng.uniform(size=n)
+    bp = BuildParams(R=24, L=48, alpha=1.2)
+    idx0 = PostfilterVamanaIndex(points, labels, bp, metric="mips")
+    idxm = PostfilterVamanaIndex(points, labels, bp, metric="mips",
+                                 start_point="medoid")
+    assert idxm._start != 0 or idx0._start == idxm._start
+    # medoid = centroid-closest in label-sorted order
+    srt = points[np.argsort(labels, kind="stable")]
+    mean = srt.astype(np.float64).mean(axis=0)
+    d2 = np.einsum("ij,ij->i", srt, srt) - 2.0 * (srt @ mean)
+    assert idxm._start == int(np.argmin(d2))
+    queries = rng.normal(size=(nq, d)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    starts_f = rng.uniform(0, 0.75, size=nq)
+    filters = np.stack([starts_f, starts_f + 0.25], axis=1)
+    qp = build_query_params(k, 40, final_beam_multiply=4)
+    gt_ids, _ = gt_fn(points, labels, queries, filters, k, "mips")
+
+    def rec(ids):
+        return np.mean([
+            len(set(ids[i].astype(int))
+                & set(gt_ids[i][gt_ids[i] >= 0].astype(int)))
+            / max((gt_ids[i] >= 0).sum(), 1) for i in range(nq)])
+
+    ids0, _ = idx0.batch_search(queries, filters, nq, qp)
+    idsm, _ = idxm.batch_search(queries, filters, nq, qp)
+    r0, rm = rec(ids0), rec(idsm)
+    assert rm > 0.8 and rm >= r0 - 0.05, (rm, r0)
+
+    with pytest.raises(ValueError):
+        PostfilterVamanaIndex(points, labels, bp, start_point="nope")
+
+
 def test_postfilter_beam_at_clamp_still_searches(rng, gt_fn, monkeypatch):
     """A requested beamSize at/above MAX_SAFE_BEAM must still run one search
     AT the clamp (do-while semantics, ref postfilter_vamana.h:161-172) — the

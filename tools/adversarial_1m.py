@@ -53,6 +53,13 @@ def main():
     target = (qc + 1) % NC
     filters = np.stack([target.astype(np.float64), target + 1.0], axis=1)
 
+    rows = ["filter_width,method,recall,average_time,qps,threads"]
+
+    def csv(method, rec, dt):
+        rows.append(f"cluster-1,{method},{rec:.4f},{dt/NQ:.8f},{NQ/dt:.1f},1")
+        with open("results/adversarial_1m.csv", "w") as f:
+            f.write("\n".join(rows) + "\n")
+
     pre = PrefilterIndex(data, labels, metric="mips")
     qp10 = build_query_params(K, K)
     ids_gt, _ = pre.batch_search(queries, filters, NQ, qp10)
@@ -62,6 +69,7 @@ def main():
         pre.batch_search(queries, filters, NQ, qp10)
         best = min(best, time.perf_counter() - t0)
     log(f"adversarial prefilter exact: {NQ/best:.0f} qps")
+    csv("prefiltering", 1.0, best)
     gt_sets = [set(r.astype(np.int64).tolist()) for r in ids_gt]
 
     def rec_of(ids):
@@ -73,13 +81,15 @@ def main():
     t0 = time.time()
     flat = PostfilterVamanaIndex(data, labels, bp, metric="mips")
     log(f"flat build/load: {(time.time()-t0)/60:.1f} min")
-    qp = build_query_params(K, 80, final_beam_multiply=2)
-    flat.batch_search(queries, filters, NQ, qp)
-    t0 = time.perf_counter()
-    ids, _ = flat.batch_search(queries, filters, NQ, qp)
-    dt = time.perf_counter() - t0
-    log(f"adversarial naive-postfilter beam=80: recall={rec_of(ids):.4f} "
-        f"qps={NQ/dt:.0f}")
+    for beam in (80, 320):
+        qp = build_query_params(K, beam, final_beam_multiply=2)
+        flat.batch_search(queries, filters, NQ, qp)
+        t0 = time.perf_counter()
+        ids, _ = flat.batch_search(queries, filters, NQ, qp)
+        dt = time.perf_counter() - t0
+        log(f"adversarial naive-postfilter beam={beam}: "
+            f"recall={rec_of(ids):.4f} qps={NQ/dt:.0f}")
+        csv(f"postfiltering_{beam}_2", rec_of(ids), dt)
     # free the flat graph (+ any inline) before the 11 tree rows load
     del flat
 
@@ -87,6 +97,9 @@ def main():
     tree = RangeFilterTreeIndex(data, labels, cutoff=1000, split_factor=2,
                                 build_params=bp, metric="mips")
     log(f"tree build/load: {(time.time()-t0)/60:.1f} min")
+    tags = {"fenwick": "vamana-tree",
+            "optimized_postfilter": "optimized-postfiltering",
+            "three_split": "three-split"}
     for method in ("fenwick", "optimized_postfilter", "three_split"):
         qp40 = build_query_params(K, 40, final_beam_multiply=2)
         tree.batch_search(queries, filters, NQ, method, qp40)
@@ -95,7 +108,8 @@ def main():
         dt = time.perf_counter() - t0
         log(f"adversarial tree-{method} beam=40: recall={rec_of(ids):.4f} "
             f"qps={NQ/dt:.0f}")
-    log("adversarial_1m done")
+        csv(f"{tags[method]}_40_2", rec_of(ids), dt)
+    log("adversarial_1m done -> results/adversarial_1m.csv")
 
 
 if __name__ == "__main__":
