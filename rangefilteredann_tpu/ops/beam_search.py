@@ -262,6 +262,8 @@ def pallas_beam_eligible(graph, beam, expand, degree_limit, metric,
             return False  # native-int8 exact inline stays on the XLA path
     elif dt not in (jnp.float32, jnp.bfloat16):
         return False
+    if graph.nbr_vecs.shape[2] > 128:
+        return False  # V/prod/S scratches would exceed the 16 MB VMEM scope
     return (expand == 1 and degree_limit == 0 and k == 0
             and exclude is None and beam <= PALLAS_MAX_BEAM
             and metric in ("l2", "mips"))

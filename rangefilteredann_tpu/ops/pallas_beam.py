@@ -53,7 +53,11 @@ from ..utils.data import METRIC_L2, METRIC_MIPS
 
 EMPTY_ID = 2**31 - 1  # plain int: jnp consts are rejected as kernel captures
 
-QB = 64  # queries per grid block (DMA parallelism vs VMEM for S/V scratch)
+import os as _os
+
+# queries per grid block: DMA parallelism + lane fill vs VMEM for the S/V
+# scratches (S is qb^2*w*4 bytes). Tunable for on-chip sweeps.
+QB = int(_os.environ.get("RFANN_PALLAS_QB", "64"))
 
 
 def meta_layout(r: int, quant: bool):
@@ -91,12 +95,12 @@ def _beam_kernel(qcat_ref, starts_ref, d0_ref, act_ref,
                  fd_ref, fid_ref, nvis_ref, cmps_ref,
                  v_scr, prod_scr, s_scr, meta_scr, cur_scr, fe_scr,
                  dma_sems,
-                 *, beam, r, w, limit, metric, m, ids_at, quant):
+                 *, beam, r, w, limit, metric, m, ids_at, quant, qb):
     r_pad = v_scr.shape[0]
 
     # --- one-time per block: S segment matrix + frontier init ---
-    iota_c = jax.lax.broadcasted_iota(jnp.int32, (QB * w, QB), 0)
-    iota_i = jax.lax.broadcasted_iota(jnp.int32, (QB * w, QB), 1)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (qb * w, qb), 0)
+    iota_i = jax.lax.broadcasted_iota(jnp.int32, (qb * w, qb), 1)
     s_scr[:] = ((iota_c // w) == iota_i).astype(jnp.float32)
     if r_pad > r:
         # rows r..r_pad of V are never DMA'd — zero once so prod stays finite
@@ -104,12 +108,12 @@ def _beam_kernel(qcat_ref, starts_ref, d0_ref, act_ref,
             (r_pad - r, v_scr.shape[1]), v_scr.dtype)
 
     act = act_ref[:] != 0  # [QB, 1]
-    iota_b = jax.lax.broadcasted_iota(jnp.int32, (QB, beam), 1)
+    iota_b = jax.lax.broadcasted_iota(jnp.int32, (qb, beam), 1)
     slot0 = iota_b == 0
     fd_ref[:] = jnp.where(slot0 & act, d0_ref[:], jnp.inf)
     fid_ref[:] = jnp.where(slot0 & act, starts_ref[:], EMPTY_ID)
-    fe_scr[:] = jnp.zeros((QB, beam), jnp.int32)
-    nvis_ref[:] = jnp.zeros((QB, 1), jnp.int32)
+    fe_scr[:] = jnp.zeros((qb, beam), jnp.int32)
+    nvis_ref[:] = jnp.zeros((qb, 1), jnp.int32)
     cmps_ref[:] = jnp.where(act, 1, 0).astype(jnp.int32)
 
     def cond(carry):
@@ -134,7 +138,7 @@ def _beam_kernel(qcat_ref, starts_ref, d0_ref, act_ref,
 
         # --- per-query DMAs: inline vector block + packed meta row ---
         copies = []
-        for i in range(QB):
+        for i in range(qb):
             idx = cur_scr[i, 0]
             cp_v = pltpu.make_async_copy(
                 vecs_hbm.at[idx],
@@ -218,7 +222,7 @@ def _beam_kernel(qcat_ref, starts_ref, d0_ref, act_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("beam", "limit", "metric", "interpret"),
+    static_argnames=("beam", "limit", "metric", "interpret", "qb"),
 )
 def pallas_beam_search_inline(
     nbr_vecs: jax.Array,  # [m, R, w] inline neighbor vectors (f32/bf16/int8)
@@ -233,6 +237,7 @@ def pallas_beam_search_inline(
     limit: int,
     metric: str,
     interpret: bool = False,
+    qb: "int | None" = None,
 ):
     """Fused beam search over inline blocks. Returns (f_ids [Q, beam] i32,
     f_d [Q, beam] f32, n_vis [Q] i32, cmps [Q] i32) with the frontier
@@ -242,9 +247,10 @@ def pallas_beam_search_inline(
         raise ValueError(metric)
     m, r, w = nbr_vecs.shape
     q = queries.shape[0]
-    assert q % QB == 0, f"Q={q} must be a multiple of QB={QB}"
+    qb = QB if qb is None else qb
+    assert q % qb == 0, f"Q={q} must be a multiple of qb={qb}"
     assert queries.shape[1] == w
-    n_blocks = q // QB
+    n_blocks = q // qb
     r_pad = -(-r // 8) * 8
     quant = meta.shape[1] == 256
     _, ids_at = meta_layout(r, quant)
@@ -256,41 +262,41 @@ def pallas_beam_search_inline(
         # instead upcast to f32 before the XLA matmul (query unrounded), so
         # they take the plain f32 path here.
         queries = queries.astype(jnp.bfloat16).astype(jnp.float32)
-    qcat = queries.reshape(n_blocks, QB * w)
+    qcat = queries.reshape(n_blocks, qb * w)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((1, QB * w), lambda b: (b, 0),
+            pl.BlockSpec((1, qb * w), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((QB, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((QB, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((QB, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),  #vecs stay in HBM
-            pl.BlockSpec(memory_space=pl.ANY),  #meta stays in HBM
+            pl.BlockSpec((qb, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qb, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qb, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # vecs stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # meta stays in HBM
         ],
         out_specs=[
-            pl.BlockSpec((QB, beam), lambda b: (b, 0),
+            pl.BlockSpec((qb, beam), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((QB, beam), lambda b: (b, 0),
+            pl.BlockSpec((qb, beam), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((QB, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((QB, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qb, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qb, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((r_pad, QB * w), nbr_vecs.dtype),  # V: vector blocks
-            pltpu.VMEM((r_pad, QB * w), jnp.float32),  # prod
-            pltpu.VMEM((QB * w, QB), jnp.float32),  # S segment matrix
-            pltpu.VMEM((QB, meta.shape[1]), jnp.float32),  # meta rows
-            pltpu.VMEM((QB, 128), jnp.int32),  # cur node ids
-            pltpu.VMEM((QB, beam), jnp.int32),  # explored flags
+            pltpu.VMEM((r_pad, qb * w), nbr_vecs.dtype),  # V: vector blocks
+            pltpu.VMEM((r_pad, qb * w), jnp.float32),  # prod
+            pltpu.VMEM((qb * w, qb), jnp.float32),  # S segment matrix
+            pltpu.VMEM((qb, meta.shape[1]), jnp.float32),  # meta rows
+            pltpu.VMEM((qb, 128), jnp.int32),  # cur node ids
+            pltpu.VMEM((qb, beam), jnp.int32),  # explored flags
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kern = functools.partial(
         _beam_kernel, beam=beam, r=r, w=w, limit=int(limit),
-        metric=metric, m=m, ids_at=ids_at, quant=quant)
+        metric=metric, m=m, ids_at=ids_at, quant=quant, qb=qb)
     fd, fid, nvis, cmps = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
