@@ -137,6 +137,19 @@ class RangeFilterTreeIndex:
         from .base import RowResidency
 
         self._res = RowResidency(self._graphs, device_rows_budget)
+        self._inline_attached: set = set()  # rows with inline blocks resident
+
+    def _plan_inline(self, rows: np.ndarray, counts: np.ndarray) -> None:
+        """Per-row int8 inline blocks for this batch's busiest rows
+        (models/base.plan_row_inline; quantized scores are exact-reranked —
+        the doubling path inside doubling_postfilter, the single-shot path
+        in _run_single_shot)."""
+        if self._leaf != "vamana":
+            return
+        from .base import plan_row_inline
+
+        plan_row_inline(self._ps, self._graphs, self._sharded,
+                        self._inline_attached, rows, counts)
 
     # ------------------------------------------------------------------ build
     def _row_cache_file(self, r: int) -> Optional[str]:
@@ -432,22 +445,58 @@ class RangeFilterTreeIndex:
                 act = np.zeros((tp,), bool)
                 st[: len(sel)] = starts
                 act[: len(sel)] = True
-                res = batched_beam_search(
-                    self._ps.data, self._ps.norms_sq, g.nbrs_dev,
-                    g.slab_to_global_dev,
-                    _qcache_rows(q_dev, qis[sel], tp, q_dev.shape[1]),
-                    jnp.asarray(st),
-                    beam=int(beam), k=0, cut=jnp.float32(cut),
-                    limit=jnp.int32(limit), metric=self._ps.metric,
-                    active_in=jnp.asarray(act), expand=default_expand(int(beam)),
-                    degree_limit=0 if degree_limit >= g.R else int(degree_limit),
-                    norm_col=(self._ps.norm_col
-                              if self._ps.norm_col >= 0 else None),
-                    identity_map=g.identity_s2g,
-                )
+                qs_dev = _qcache_rows(q_dev, qis[sel], tp, q_dev.shape[1])
+                dl = 0 if degree_limit >= g.R else int(degree_limit)
+                from ..ops.beam_search import (
+                    pallas_beam_eligible, pallas_beam_search)
+
+                if (g.nbr_vecs is not None and pallas_beam_eligible(
+                        g, int(beam), default_expand(int(beam)), dl,
+                        self._ps.metric)):
+                    res = pallas_beam_search(
+                        self._ps, g, qs_dev, jnp.asarray(st),
+                        beam=int(beam), limit=int(limit),
+                        metric=self._ps.metric,
+                        active_in=jnp.asarray(act))
+                else:
+                    res = batched_beam_search(
+                        self._ps.data, self._ps.norms_sq, g.nbrs_dev,
+                        g.slab_to_global_dev,
+                        qs_dev, jnp.asarray(st),
+                        beam=int(beam), k=0, cut=jnp.float32(cut),
+                        limit=jnp.int32(limit), metric=self._ps.metric,
+                        active_in=jnp.asarray(act),
+                        expand=default_expand(int(beam)),
+                        degree_limit=dl,
+                        norm_col=(self._ps.norm_col
+                                  if self._ps.norm_col >= 0 else None),
+                        identity_map=g.identity_s2g,
+                        nbr_vecs=g.nbr_vecs, nbr_norms=g.nbr_norms,
+                        nbr_scale=g.nbr_scale,
+                    )
                 if stats is not None:
                     stats.add_beam_result(qis[sel], res)
-                launches.append((sel, res.frontier_ids, res.frontier_dists))
+                if g.nbr_scale is not None:
+                    # quantized inline: frontier order carries int8 rounding —
+                    # exact-rerank the top-(k+slack) in fp32 (the doubling
+                    # path does the same inside doubling_postfilter)
+                    from ..ops.beam_search import exact_rerank
+
+                    gsel = res.frontier_ids[:, : k + 8]
+                    if not g.identity_s2g:
+                        gsel = jnp.where(
+                            gsel == EMPTY_ID, EMPTY_ID,
+                            g.slab_to_global_dev[
+                                jnp.clip(gsel, 0, g.m - 1)].astype(jnp.int32))
+                    gi, gd = exact_rerank(
+                        self._ps.data, self._ps.norms_sq, qs_dev, gsel, k,
+                        self._ps.metric,
+                        norm_col=(self._ps.norm_col
+                                  if self._ps.norm_col >= 0 else None))
+                    launches.append((sel, gi, gd))
+                else:
+                    launches.append(
+                        (sel, res.frontier_ids, res.frontier_dists))
         fetched = jax.device_get([(fi, fd) for _, fi, fd in launches])
         for (sel, _, _), (fi, fd) in zip(launches, fetched):
             fi, fd = fi[: len(sel), :k], fd[: len(sel), :k]
@@ -751,6 +800,12 @@ class RangeFilterTreeIndex:
             )
         (s_qi, s_row, s_bkt, s_beam), (d_qi, d_row, d_bkt, d_wlo, d_whi), \
             (b_qi, b_s, b_e) = plan
+
+        # inline blocks for the busiest rows of THIS batch (budget-gated)
+        all_rows = np.concatenate([s_row, d_row]).astype(np.int64)
+        if len(all_rows) and self._mesh is None:
+            urows, ucounts = np.unique(all_rows, return_counts=True)
+            self._plan_inline(urows, ucounts)
 
         # ---- execute the three phases as dense batches ----
         # hash the padded batch ONCE; every phase (and every row inside the

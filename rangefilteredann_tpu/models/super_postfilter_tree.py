@@ -264,7 +264,16 @@ class SuperOptimizedPostfilterTree:
 
         out_i = np.full((num_queries, k), int(EMPTY_ID), dtype=np.int64)
         out_d = np.full((num_queries, k), np.inf, dtype=np.float32)
-        from .base import _qkey
+        from .base import _qkey, plan_row_inline
+
+        # int8 inline blocks for this batch's busiest rows (quantized
+        # scores exact-reranked inside doubling_postfilter)
+        urows, ucounts = np.unique(rows[rows >= 0], return_counts=True)
+        if len(urows) and self._mesh is None:
+            if not hasattr(self, "_inline_attached"):
+                self._inline_attached = set()
+            plan_row_inline(self._ps, self._graphs, {},
+                            self._inline_attached, urows, ucounts)
 
         q_key = _qkey(qpad)  # hash once; reused by every per-row call
         for r in np.unique(rows[rows >= 0]):

@@ -110,6 +110,31 @@ def test_vamana_tree_recall(dataset, gt_fn, vamana_tree, method):
     assert r > 0.85, f"{method} recall {r}"
 
 
+@pytest.mark.parametrize("method", ["fenwick", "optimized_postfilter"])
+def test_vamana_tree_inline_rows_parity(dataset, gt_fn, vamana_tree, method,
+                                        monkeypatch):
+    """RFANN_TREE_INLINE=force attaches int8 inline blocks to the busiest
+    rows (base.plan_row_inline); quantized frontier scores are exact-
+    reranked, so recall must stay in the no-inline band."""
+    points, labels, rng = dataset
+    queries, filters = make_queries(rng, 60, [2**-8, 2**-4, 2**-2, 0.5])
+    qp = build_query_params(K, 40, final_beam_multiply=4)
+    gt_ids, _ = gt_fn(points, labels, queries, filters, K, "l2")
+    monkeypatch.setenv("RFANN_TREE_INLINE", "0")
+    ids0, _ = vamana_tree.batch_search(queries, filters, 60, method, qp)
+    monkeypatch.setenv("RFANN_TREE_INLINE", "force")
+    ids1, _ = vamana_tree.batch_search(queries, filters, 60, method, qp)
+    assert vamana_tree._inline_attached, "no rows attached under force"
+    g = vamana_tree._graphs[max(vamana_tree._inline_attached)]
+    assert g.nbr_scale is not None  # int8-quantized form
+    r0, r1 = recall_of(ids0, gt_ids), recall_of(ids1, gt_ids)
+    assert r1 > 0.85 and r1 >= r0 - 0.02, (r1, r0)
+    # detach again so other module-scope tests see the default state
+    monkeypatch.setenv("RFANN_TREE_INLINE", "0")
+    vamana_tree.batch_search(queries, filters, 60, method, qp)
+    assert not vamana_tree._inline_attached
+
+
 def test_smart_combined_ratio_fallback(dataset, gt_fn, vamana_tree):
     points, labels, rng = dataset
     queries, filters = make_queries(rng, 20, [0.3])
