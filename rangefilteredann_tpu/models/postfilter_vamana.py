@@ -91,18 +91,20 @@ def _run_beam_batch(
         qs = np.zeros((qpow, queries_padded.shape[1]), dtype=np.float32)
         qs[:q] = queries_padded
         qs_dev = _place(mesh, qs)
-    from ..ops.beam_search import pallas_beam_eligible, pallas_beam_search
+    from ..ops.beam_search import (
+        pallas_beam_eligible, pallas_beam_search_safe)
 
     if inline and pallas_beam_eligible(
             graph, int(beam), default_expand(int(beam)),
             int(degree_limit), metric, mesh=mesh):
         # fused Pallas kernel: whole search in one program, frontier in
         # VMEM, exact XLA-path parity (ops/pallas_beam.py)
-        res = pallas_beam_search(
+        res = pallas_beam_search_safe(
             ps, graph, qs_dev, jnp.asarray(st), beam=int(beam),
             limit=int(qp_limit), metric=metric,
             active_in=jnp.asarray(act))
-        return res, qs_dev
+        if res is not None:
+            return res, qs_dev
     res = batched_beam_search(
         ps.data, ps.norms_sq, graph.nbrs_dev, graph.slab_to_global_dev,
         qs_dev, _place(mesh, st),

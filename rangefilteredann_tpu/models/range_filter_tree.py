@@ -448,17 +448,18 @@ class RangeFilterTreeIndex:
                 qs_dev = _qcache_rows(q_dev, qis[sel], tp, q_dev.shape[1])
                 dl = 0 if degree_limit >= g.R else int(degree_limit)
                 from ..ops.beam_search import (
-                    pallas_beam_eligible, pallas_beam_search)
+                    pallas_beam_eligible, pallas_beam_search_safe)
 
+                res = None
                 if (g.nbr_vecs is not None and pallas_beam_eligible(
                         g, int(beam), default_expand(int(beam)), dl,
                         self._ps.metric)):
-                    res = pallas_beam_search(
+                    res = pallas_beam_search_safe(
                         self._ps, g, qs_dev, jnp.asarray(st),
                         beam=int(beam), limit=int(limit),
                         metric=self._ps.metric,
                         active_in=jnp.asarray(act))
-                else:
+                if res is None:
                     res = batched_beam_search(
                         self._ps.data, self._ps.norms_sq, g.nbrs_dev,
                         g.slab_to_global_dev,

@@ -269,6 +269,32 @@ def pallas_beam_eligible(graph, beam, expand, degree_limit, metric,
             and metric in ("l2", "mips"))
 
 
+_PALLAS_BROKEN = False
+
+
+def pallas_beam_search_safe(ps, graph, queries, starts, *, beam, limit,
+                            metric, active_in):
+    """pallas_beam_search, or None on ANY failure (Mosaic compile error at
+    an unexercised shape, HBM exhaustion building the meta rows, ...) —
+    after which the kernel is disabled for the rest of the process so
+    unattended sweeps degrade to the XLA path instead of dying."""
+    global _PALLAS_BROKEN
+    if _PALLAS_BROKEN:
+        return None
+    try:
+        return pallas_beam_search(
+            ps, graph, queries, starts, beam=beam, limit=limit,
+            metric=metric, active_in=active_in)
+    except Exception as e:  # noqa: BLE001 — deliberate blanket fallback
+        import warnings
+
+        _PALLAS_BROKEN = True
+        warnings.warn(
+            f"fused Pallas beam kernel failed ({type(e).__name__}: {e}); "
+            "falling back to the XLA path for this process", stacklevel=2)
+        return None
+
+
 def pallas_beam_search(
     ps, graph, queries, starts, *, beam, limit, metric, active_in,
 ) -> BeamResult:
