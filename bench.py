@@ -402,6 +402,15 @@ def main():
     except Exception as e:  # noqa: BLE001 — the 200k headline must survive
         skip("1m", f"{type(e).__name__}: {e}")
 
+    families_10m = {}
+    try:
+        if jax.default_backend() != "cpu":
+            families_10m = bench_10m()
+        else:
+            skip("10m", "cpu backend")
+    except Exception as e:  # noqa: BLE001
+        skip("10m", f"{type(e).__name__}: {e}")
+
     best_qps = max((f["qps"] for f in families.values()), default=0.0)
     # MFU vs the chip's nominal bf16 MXU peak (fp32-HIGHEST matmuls run
     # multiple bf16 passes, so real fp32 attainable is ~1/6 of this; the
@@ -430,7 +439,82 @@ def main():
             device_qps / BASELINE_CPU_QPS, 3)
     if families_1m:
         out["families_1m"] = families_1m
+    if families_10m:
+        out["families_10m"] = families_10m
     print(json.dumps(out))
+
+
+def bench_10m():
+    """DEEP-10M-scale families (BASELINE config #3 shape). Runs ONLY when
+    both the /tmp dataset cache (tools/night_10m.make_data) and the flat
+    graph cache exist — regenerating 10M points takes ~25 min and a cold
+    graph build ~150, far past the driver's bench budget."""
+    import glob
+
+    data_dir = "/tmp/night10m_data"
+    names = ("points", "labels", "queries", "filters2")
+    if not all(os.path.exists(f"{data_dir}/{n}.npy") for n in names):
+        skip("10m", "dataset cache absent (/tmp/night10m_data)")
+        return {}
+    if not glob.glob("bench_cache/deep10m_l2/vamana_100_48_*_10000000.npz"):
+        skip("10m", "flat graph cache absent (bench_cache/deep10m_l2)")
+        return {}
+    gc.collect()  # drop the 1M section's device buffers before 7 GB lands
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tools"))
+    from night_10m import make_data
+
+    from rangefilteredann_tpu import BuildParams, build_query_params
+    from rangefilteredann_tpu.models.postfilter_vamana import (
+        PostfilterVamanaIndex)
+    from rangefilteredann_tpu.models.prefilter import PrefilterIndex
+
+    k, nq = K, 2048  # 10M sweeps use the night runner's batch size
+    points, labels, queries, f2, _ = make_data()
+    filters = f2[:nq]
+    queries = queries[:nq]
+    out = {}
+    pre = PrefilterIndex(points, labels, metric="l2")
+    qp10 = build_query_params(k, k)
+    gt_ids, _ = pre.batch_search(queries, filters, nq, qp10)
+    gt_sets = [set(r.astype(np.int64).tolist()) for r in gt_ids]
+    dt, rtts = best_of_metered(
+        lambda: pre.batch_search(queries, filters, nq, qp10), reps=3)
+    log(f"10M prefilter (exact): qps={nq/dt:.0f}")
+    out["prefilter"] = {
+        "qps": round(nq / dt, 1), "recall": 1.0, "config": "exact,frac=2^-2",
+        "device_qps_est": round(device_est(nq, dt, rtts), 1)}
+
+    idx = PostfilterVamanaIndex(
+        points, labels,
+        BuildParams(R=48, L=100, alpha=1.2,
+                    cache_path="bench_cache/deep10m_l2/"),
+        metric="l2", require_cache=True)
+    best = {"qps": 0.0}
+    for beam, fm in ((320, 2), (640, 2)):
+        qp = build_query_params(k, beam, final_beam_multiply=fm)
+        box = {}
+
+        def run(qp=qp, box=box):
+            box["ids"], _ = idx.batch_search(queries, filters, nq, qp)
+
+        dt, rtts = best_of_metered(run, reps=2)
+        rec = float(np.mean([
+            len(gt_sets[i] & set(box["ids"][i].astype(np.int64).tolist()))
+            / k for i in range(nq)]))
+        log(f"10M postfilter beam={beam} fm={fm}: recall={rec:.4f} "
+            f"qps={nq/dt:.0f}")
+        if rec >= 0.9 and nq / dt > best["qps"]:
+            best = {"qps": round(nq / dt, 1), "recall": round(rec, 4),
+                    "config": f"R=48,L=100,beam={beam},fm={fm},frac=2^-2",
+                    "device_qps_est": round(device_est(nq, dt, rtts), 1)}
+    if best["qps"]:
+        out["postfilter"] = best
+    else:
+        skip("10m_postfilter", "no config reached recall 0.9")
+    del idx
+    gc.collect()
+    return out
 
 
 def bench_1m(recall_of_k=10):

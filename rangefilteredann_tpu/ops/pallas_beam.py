@@ -150,15 +150,15 @@ def _beam_kernel(qcat_ref, starts_ref, d0_ref, act_ref,
             cp_v.start()
             cp_m.start()
             copies.append((cp_v, cp_m))
-        for cp_v, cp_m in copies:
+        for cp_v, _ in copies:
             cp_v.wait()
-            cp_m.wait()
 
         # --- distances: one elementwise + one MXU segment-sum matmul.
         # int8 blocks upcast to f32 (exact); the wrapper pre-rounds the
         # query row to bf16 for quant blocks, so every product matches the
         # XLA path's bf16xbf16 -> f32 MXU products exactly; HIGHEST keeps
-        # the f32 segment sums exact. ---
+        # the f32 segment sums exact. The meta-row DMAs (needed only after
+        # the matmul) stay in flight across it. ---
         prod_scr[:] = v_scr[:].astype(jnp.float32) * qcat_ref[:]
         ips_t = jax.lax.dot_general(  # [R_pad, QB]
             prod_scr[:], s_scr[:],
@@ -166,6 +166,8 @@ def _beam_kernel(qcat_ref, starts_ref, d0_ref, act_ref,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
+        for _, cp_m in copies:
+            cp_m.wait()
         ips = ips_t.T  # [QB, R_pad]
         nrm = meta_scr[:, :r]  # [QB, R]
         cids = jax.lax.bitcast_convert_type(
