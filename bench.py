@@ -514,6 +514,43 @@ def bench_10m():
         skip("10m_postfilter", "no config reached recall 0.9")
     del idx
     gc.collect()
+
+    # 2-row B-WST (fenwick): at 10M the windowed fringe scan makes this
+    # exact AND faster than the full prefilter scan — the first scale where
+    # a tree family tops the chart (round-4 night runner: 1.0000 @ 8.9k QPS
+    # at 2^-2 vs flat postfilter 0.904 @ 221).
+    if glob.glob("bench_cache/deep10m_l2/wst_100_48_*_10000000_*row1.npz"):
+        from rangefilteredann_tpu import RangeFilterTreeIndex
+
+        try:
+            tree = RangeFilterTreeIndex(
+                points, labels, cutoff=5_000_000, split_factor=2,
+                build_params=BuildParams(
+                    R=48, L=100, alpha=1.2,
+                    cache_path="bench_cache/deep10m_l2/"),
+                metric="l2", device_rows_budget=4 << 30, require_cache=True)
+            qp = build_query_params(k, 80, final_beam_multiply=2)
+            box = {}
+
+            def run_tree(box=box):
+                box["ids"], _ = tree.batch_search(
+                    queries, filters, nq, "fenwick", qp)
+
+            dt, rtts = best_of_metered(run_tree, reps=2)
+            rec = float(np.mean([
+                len(gt_sets[i] & set(box["ids"][i].astype(np.int64).tolist()))
+                / k for i in range(nq)]))
+            log(f"10M fenwick beam=80: recall={rec:.4f} qps={nq/dt:.0f}")
+            out["fenwick"] = {
+                "qps": round(nq / dt, 1), "recall": round(rec, 4),
+                "config": "R=48,L=100,cutoff=5M,beam=80,fm=2,frac=2^-2",
+                "device_qps_est": round(device_est(nq, dt, rtts), 1)}
+            del tree
+            gc.collect()
+        except Exception as e:  # noqa: BLE001 — keep the earlier families
+            skip("10m_fenwick", f"{type(e).__name__}: {e}")
+    else:
+        skip("10m_fenwick", "tree row cache absent")
     return out
 
 

@@ -241,7 +241,11 @@ def _merge_frontier_cands_path(f_ids, f_d, f_e, c_ids, c_d, beam):
 # Fused Pallas beam kernel routing (ops/pallas_beam.py). The kernel is
 # exact-parity for the query configuration it supports; beams past the cap
 # fall back to the XLA path (insertion cost grows with the lane width).
-PALLAS_BEAM = os.environ.get("RFANN_PALLAS_BEAM", "1") != "0"
+# Default OFF until the on-chip A/B (tools/exp_pallas_beam.py) proves a win:
+# the round-4 kernel never lowered on real TPUs before the qcat block-spec
+# fix (pallas_beam.py), so its chip speed is unmeasured. Set
+# RFANN_PALLAS_BEAM=1 to route eligible searches through it.
+PALLAS_BEAM = os.environ.get("RFANN_PALLAS_BEAM", "0") != "0"
 PALLAS_MAX_BEAM = int(os.environ.get("RFANN_PALLAS_MAX_BEAM", "512"))
 
 

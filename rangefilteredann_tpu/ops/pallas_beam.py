@@ -159,7 +159,7 @@ def _beam_kernel(qcat_ref, starts_ref, d0_ref, act_ref,
         # XLA path's bf16xbf16 -> f32 MXU products exactly; HIGHEST keeps
         # the f32 segment sums exact. The meta-row DMAs (needed only after
         # the matmul) stay in flight across it. ---
-        prod_scr[:] = v_scr[:].astype(jnp.float32) * qcat_ref[:]
+        prod_scr[:] = v_scr[:].astype(jnp.float32) * qcat_ref[0:1, :]
         ips_t = jax.lax.dot_general(  # [R_pad, QB]
             prod_scr[:], s_scr[:],
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -264,13 +264,17 @@ def pallas_beam_search_inline(
         # instead upcast to f32 before the XLA matmul (query unrounded), so
         # they take the plain f32 path here.
         queries = queries.astype(jnp.bfloat16).astype(jnp.float32)
-    qcat = queries.reshape(n_blocks, qb * w)
+    # Mosaic requires a block's sublane dim to be a multiple of 8 (or the
+    # full array dim) — a (1, qb*w) qcat block fails to lower on real TPUs
+    # (interpret mode doesn't check). Replicate each block's lane-concatenated
+    # query row 8x so the block is (8, qb*w); the kernel reads sublane 0.
+    qcat = jnp.repeat(queries.reshape(n_blocks, qb * w), 8, axis=0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((1, qb * w), lambda b: (b, 0),
+            pl.BlockSpec((8, qb * w), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((qb, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((qb, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),

@@ -81,88 +81,121 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return out, best
 
-    pre = PrefilterIndex(points, labels, metric="l2")
-    qp10 = build_query_params(K, K)
-    bp = BuildParams(R=48, L=100, alpha=1.2,
-                     cache_path="bench_cache/deep10m_l2/")
-    idx = PostfilterVamanaIndex(points, labels, bp, metric="l2",
-                                require_cache=True)
-    log("flat 10M graph loaded")
-    tree = None  # loaded lazily: row-1 cache only exists after deep10m_tree
+    # The 10M store pads to [10M, 128] f32 = 5.12 GB on device; prefilter +
+    # flat graph + tree simultaneously is ~17 GB on a 16 GB chip (the
+    # 15:48 OOM cascade). Run SECTIONS — GT for every fraction first, then
+    # the flat graph, then the tree — scrubbing the device between them.
+    def scrub():
+        from rangefilteredann_tpu.models import base as _b
 
-    for fexp in FRACS:
-        if left_min() < 8:
-            log("deadline squeeze — stopping")
-            break
+        _b._QCACHE.clear()  # else the cache maps to deleted device arrays
+        gc.collect()
+        try:
+            for a in jax.live_arrays():
+                a.delete()
+        except Exception:
+            pass
+        jax.clear_caches()
+        gc.collect()
+
+    def frac_filters(fexp):
         frac = 2.0 ** -fexp
         frng = np.random.default_rng(5000 + fexp)
         lo = frng.uniform(0, 1 - frac, NQ) if frac < 1 else np.zeros(NQ)
-        filters = np.stack([lo, lo + frac], 1)
+        return np.stack([lo, lo + frac], 1)
+
+    # --- section 1: exact GT + prefilter timing, all fractions ---
+    gt = {}  # fexp -> list[set]
+    pre = PrefilterIndex(points, labels, metric="l2")
+    qp10 = build_query_params(K, K)
+    for fexp in FRACS:
+        if left_min() < 8:
+            break
+        filters = frac_filters(fexp)
         fw = f"2pow-{fexp}"
         ids_gt, d_gt = pre.batch_search(queries, filters, NQ, qp10)
-        gt_sets = [set(ids_gt[q][d_gt[q] < FMAX].astype(np.int64).tolist())
-                   for q in range(NQ)]
-
-        def rec_of(ids):
-            return float(np.mean(
-                [len(gt_sets[q] & set(ids[q].astype(np.int64).tolist()))
-                 / max(1, len(gt_sets[q])) if gt_sets[q] else 1.0
-                 for q in range(NQ)]))
-
+        gt[fexp] = [set(ids_gt[q][d_gt[q] < FMAX].astype(np.int64).tolist())
+                    for q in range(NQ)]
         if (fw, "prefiltering") not in done:
             _, dt = timed(lambda: pre.batch_search(
                 queries, filters, NQ, qp10))
             rows.append(f"{fw},prefiltering,1.0000,{dt/NQ:.8f},{NQ/dt:.1f},1")
             log(f"{fw} prefiltering qps={NQ/dt:.0f}")
             flush()
+    del pre
+    scrub()
+    log("GT section done; device scrubbed")
 
-        def sweep(tag, fn_of, ladder):
-            for beam, fm in ladder:
-                prior = done.get((fw, f"{tag}_{beam}_{fm}"))
-                if prior is not None:
-                    if prior >= 0.93:
-                        break
-                    continue
-                if left_min() < 5:
-                    return
-                try:
-                    qp = build_query_params(K, beam, final_beam_multiply=fm)
-                    (ids, _), dt = timed(lambda qp=qp: fn_of(qp))
-                    rec = rec_of(ids)
-                    rows.append(f"{fw},{tag}_{beam}_{fm},{rec:.4f},"
-                                f"{dt/NQ:.8f},{NQ/dt:.1f},1")
-                    log(f"{fw} {tag}_{beam}_{fm}: recall={rec:.4f} "
-                        f"qps={NQ/dt:.0f}")
-                    flush()
-                    if rec >= 0.93:
-                        break
-                except Exception:
-                    log(f"{fw} {tag}_{beam}_{fm} FAILED\n"
-                        + traceback.format_exc())
-                    return
+    def rec_of(fexp, ids):
+        gs = gt[fexp]
+        return float(np.mean(
+            [len(gs[q] & set(ids[q].astype(np.int64).tolist()))
+             / max(1, len(gs[q])) if gs[q] else 1.0 for q in range(NQ)]))
 
-        ladder = ((80, 2), (160, 2), (320, 2), (640, 2), (640, 4))
-        sweep("postfiltering",
-              lambda qp: idx.batch_search(queries, filters, NQ, qp), ladder)
-
-        if tree is None:
+    def sweep(fexp, tag, fn_of, ladder):
+        fw = f"2pow-{fexp}"
+        filters = frac_filters(fexp)
+        for beam, fm in ladder:
+            prior = done.get((fw, f"{tag}_{beam}_{fm}"))
+            if prior is not None:
+                if prior >= 0.93:
+                    break
+                continue
+            if left_min() < 5:
+                return
             try:
-                tree = RangeFilterTreeIndex(
-                    points, labels, cutoff=5_000_000, split_factor=2,
-                    build_params=bp, metric="l2",
-                    device_rows_budget=4 << 30, require_cache=True)
-                log("2-row 10M B-WST loaded")
-            except FileNotFoundError:
-                tree = False
-                log("10M tree row cache absent — flat + prefilter only")
-        if tree:
+                qp = build_query_params(K, beam, final_beam_multiply=fm)
+                (ids, _), dt = timed(lambda qp=qp: fn_of(qp, filters))
+                rec = rec_of(fexp, ids)
+                rows.append(f"{fw},{tag}_{beam}_{fm},{rec:.4f},"
+                            f"{dt/NQ:.8f},{NQ/dt:.1f},1")
+                log(f"{fw} {tag}_{beam}_{fm}: recall={rec:.4f} "
+                    f"qps={NQ/dt:.0f}")
+                flush()
+                if rec >= 0.93:
+                    break
+            except Exception:
+                log(f"{fw} {tag}_{beam}_{fm} FAILED\n"
+                    + traceback.format_exc())
+                return
+
+    bp = BuildParams(R=48, L=100, alpha=1.2,
+                     cache_path="bench_cache/deep10m_l2/")
+
+    # --- section 2: flat graph postfilter, all fractions ---
+    idx = PostfilterVamanaIndex(points, labels, bp, metric="l2",
+                                require_cache=True)
+    log("flat 10M graph loaded")
+    ladder = ((80, 2), (160, 2), (320, 2), (640, 2), (640, 4))
+    for fexp in FRACS:
+        if fexp not in gt or left_min() < 8:
+            break
+        sweep(fexp, "postfiltering",
+              lambda qp, f: idx.batch_search(queries, f, NQ, qp), ladder)
+    del idx
+    scrub()
+    log("flat section done; device scrubbed")
+
+    # --- section 3: 2-row B-WST methods, all fractions ---
+    try:
+        tree = RangeFilterTreeIndex(
+            points, labels, cutoff=5_000_000, split_factor=2,
+            build_params=bp, metric="l2",
+            device_rows_budget=4 << 30, require_cache=True)
+        log("2-row 10M B-WST loaded")
+    except FileNotFoundError:
+        tree = None
+        log("10M tree row cache absent — flat + prefilter only")
+    if tree is not None:
+        for fexp in FRACS:
+            if fexp not in gt or left_min() < 6:
+                break
             for tag, method in (("optimized-postfiltering",
                                  "optimized_postfilter"),
                                 ("vamana-tree", "fenwick")):
-                sweep(tag, lambda qp, m=method: tree.batch_search(
-                    queries, filters, NQ, m, qp),
+                sweep(fexp, tag, lambda qp, f, m=method: tree.batch_search(
+                    queries, f, NQ, m, qp),
                     ((80, 2), (160, 2), (320, 2), (640, 2)))
-        gc.collect()
     flush()
     log("deep10m_fracs done ->", OUT)
 

@@ -61,11 +61,22 @@ def run_mips_full():
     mips1m_full.main()
 
 
+def run_beam_ab():
+    import exp_pallas_beam
+
+    exp_pallas_beam.main_200k()
+
+
+# Reordered for the late-round TPU window: the Pallas-beam A/B first (cheap,
+# decides whether the kernel routing helps or hurts the driver bench), then
+# the 10M fraction sweep while its dataset/graph/tree caches are warm from
+# the deep10m_tree runner, then the expensive cold builds.
 PHASES = [
-    ("m1_grid", r3_night.phase_m1_grid, 130),
+    ("beam_ab", run_beam_ab, 20),
     ("deep10m", run_deep10m_fracs, 75),
-    ("adv1m", run_adv1m, 110),
+    ("m1_grid", r3_night.phase_m1_grid, 130),
     ("mips_full", run_mips_full, 45),
+    ("adv1m", run_adv1m, 110),
 ]
 
 if __name__ == "__main__":
