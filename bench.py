@@ -484,6 +484,10 @@ def bench_10m():
     out["prefilter"] = {
         "qps": round(nq / dt, 1), "recall": 1.0, "config": "exact,frac=2^-2",
         "device_qps_est": round(device_est(nq, dt, rtts), 1)}
+    # the padded 10M store is 5.12 GB — never hold more than one 10M
+    # index on the 16 GB chip (the 15:48 OOM cascade)
+    del pre
+    gc.collect()
 
     idx = PostfilterVamanaIndex(
         points, labels,
