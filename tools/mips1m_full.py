@@ -14,6 +14,8 @@ Run: nohup setsid python tools/mips1m_full.py > /tmp/mips1m_full.log 2>&1 &
 Deadline: env MIPS_DEADLINE (epoch secs), default now + 100 min.
 """
 
+import copy
+import gc
 import os
 import sys
 import time
@@ -62,10 +64,21 @@ def main():
     bp = BuildParams(R=64, L=200, alpha=1.2, cache_path="bench_cache/mips1m/")
     idx = PostfilterVamanaIndex(pts, labels, bp, metric="mips",
                                 require_cache=True)
-    idx_med = PostfilterVamanaIndex(pts, labels, bp, metric="mips",
-                                    require_cache=True, start_point="medoid")
-    idx_med._ps = idx._ps  # share the device store (one HBM copy)
-    idx_med._graph = idx._graph
+    # Medoid-start variant WITHOUT a second construction: building a second
+    # PostfilterVamanaIndex attaches its OWN int8 inline slab (~7 GB) next
+    # to idx's before the old sharing lines could drop it — that transient
+    # OOM'd the 20:10 run at the prefilter upload. A shallow copy shares
+    # every device array; the medoid needs only the host-side pass below
+    # (identical expressions to models/postfilter_vamana.py:402-408).
+    idx_med = copy.copy(idx)
+    order = np.argsort(labels, kind="stable")
+    ps_sorted = pts[order]
+    mean = ps_sorted.astype(np.float64).mean(axis=0)
+    dmed = (np.einsum("ij,ij->i", ps_sorted, ps_sorted)
+            - 2.0 * (ps_sorted @ mean))
+    idx_med._start = int(np.argmin(dmed))
+    del order, ps_sorted, dmed
+    gc.collect()
     log(f"MIPS graph loaded; medoid start = {idx_med._start}")
     pre = PrefilterIndex(pts, labels, metric="mips")
     qp10 = build_query_params(K, K)

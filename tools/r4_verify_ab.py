@@ -158,26 +158,30 @@ def verify():
                            filters, kth, K, "l2")
     check("postfilter-xla", rec >= 0.95, f"recall={rec:.4f}")
 
-    # fused kernel through the public route, both layouts, parity vs XLA
-    layouts = (("3d", "2d") if jax.default_backend() == "tpu" else ())
-    if not layouts:
+    # fused kernel through the public route, every variant, parity vs XLA
+    variants = (("3d", "2d", "3dp") if jax.default_backend() == "tpu"
+                else ())
+    if not variants:
         log("SKIP pallas on-chip checks (backend is not tpu)")
-    for layout in layouts:
-        bs.PALLAS_BEAM, pb.LAYOUT = True, layout
+    for var in variants:
+        bs.PALLAS_BEAM = True
+        pb.LAYOUT = "3d" if var == "3dp" else var
+        pb.PACKED = var == "3dp"
         bs._PALLAS_BROKEN = False
         n0 = _N_PALLAS[0]
         ids_pl, _ = pf.batch_search(queries, filters, nq, qp)
         ran = _N_PALLAS[0] > n0
-        check(f"pallas-{layout}-invoked", ran,
+        check(f"pallas-{var}-invoked", ran,
               f"kernel calls +{_N_PALLAS[0] - n0}")
         same = float(np.mean(np.asarray(ids_pl) == np.asarray(ids_xla)))
         # f32 inline parity is exact (tests/test_pallas_beam.py); int8 would
         # be recall-level, but 20k attaches f32
         dt = pf._graph.inline_dtype
         want = 1.0 if dt == "float32" else 0.99
-        check(f"pallas-{layout}-parity", same >= want,
+        check(f"pallas-{var}-parity", same >= want,
               f"ids-agree={same:.4f} inline={dt}")
     bs.PALLAS_BEAM = False
+    pb.PACKED = False
 
     tr = RangeFilterTreeIndex(points, labels, build_params=bp)
     for qm in ("fenwick", "optimized_postfilter", "three_split"):
@@ -226,11 +230,12 @@ def ab_200k():
             break
         qp = build_query_params(K, beam, final_beam_multiply=2)
         row = {}
-        for var in ("xla", "3d", "2d"):
+        for var in ("xla", "3d", "2d", "3dp"):
             bs.PALLAS_BEAM = var != "xla"
             bs._PALLAS_BROKEN = False
-            if var != "xla":
-                pb.LAYOUT = var
+            pb.LAYOUT = "3d" if var == "3dp" else ("3d" if var == "xla"
+                                                   else var)
+            pb.PACKED = var == "3dp"
             ids, _ = idx.batch_search(queries, filters, nq, qp)  # warm
             best = 1e9
             for _ in range(2):
@@ -241,14 +246,16 @@ def ab_200k():
                 len(gt_sets[i] & set(ids[i].astype(np.int64).tolist()))
                 / max(1, len(gt_sets[i])) for i in range(nq)])
             row[var] = (nq / best, rec, np.asarray(ids))
-        (qx, rx, ix), (q3, r3, i3), (q2, r2, i2) = (
-            row["xla"], row["3d"], row["2d"])
+        (qx, rx, ix), (q3, r3, i3), (q2, r2, i2), (qp_, rp_, ip_) = (
+            row["xla"], row["3d"], row["2d"], row["3dp"])
         log(f"200k beam={beam}: xla {qx:7.0f} r={rx:.4f} | "
             f"3d {q3:7.0f} ({q3 / qx:4.2f}x) | 2d {q2:7.0f} "
-            f"({q2 / qx:4.2f}x) | agree 3d={np.mean(i3 == ix):.4f} "
-            f"2d={np.mean(i2 == ix):.4f}")
-        results[beam] = (qx, q3, q2)
+            f"({q2 / qx:4.2f}x) | 3dp {qp_:7.0f} ({qp_ / qx:4.2f}x) | "
+            f"agree 3d={np.mean(i3 == ix):.4f} 2d={np.mean(i2 == ix):.4f} "
+            f"3dp={np.mean(ip_ == ix):.4f}")
+        results[beam] = (qx, q3, q2, qp_)
     bs.PALLAS_BEAM = False
+    pb.PACKED = False
     del idx
     for a in jax.live_arrays():
         a.delete()
