@@ -1,0 +1,21 @@
+#!/bin/bash
+# Re-run the mips_full phase (OOM'd 20:10, fixed by the shallow-copy medoid
+# patch) after the endgame runner (PID $1) finishes its verify/redcaps/bench
+# stages. Deadline $2 bounds the sweep (resumes landscape_1m_mips.csv).
+# Launch: nohup setsid bash tools/r4_mips_retry.sh <endgame_pid> <deadline> \
+#             > /tmp/r4_mips_retry.log 2>&1 &
+set -u
+PID=${1:?endgame pid}
+DL=${2:?deadline epoch}
+cd /root/repo
+echo "[$(date +%H:%M:%S)] waiting for endgame pid $PID"
+while kill -0 "$PID" 2>/dev/null; do sleep 60; done
+NOW=$(date +%s)
+if [ "$NOW" -gt $(( DL - 900 )) ]; then
+    echo "[$(date +%H:%M:%S)] < 15 min to deadline — skipping mips retry"
+    exit 0
+fi
+echo "[$(date +%H:%M:%S)] endgame done; re-running mips_full"
+env R3_DEADLINE="$DL" python tools/r4_night2.py mips_full \
+    > /tmp/r4_mips_retry_py.log 2>&1
+echo "[$(date +%H:%M:%S)] mips_full retry exit=$?"
