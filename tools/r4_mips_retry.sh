@@ -15,7 +15,12 @@ if [ "$NOW" -gt $(( DL - 900 )) ]; then
     echo "[$(date +%H:%M:%S)] < 15 min to deadline — skipping mips retry"
     exit 0
 fi
-echo "[$(date +%H:%M:%S)] endgame done; re-running mips_full"
+echo "[$(date +%H:%M:%S)] endgame done; re-running adv1m then mips_full"
+# separate processes: an OOM in one cannot poison the other (tonight's
+# 20:10 cascade took out both phases from one wedged allocator)
+env R3_DEADLINE="$DL" python tools/r4_night2.py adv1m \
+    > /tmp/r4_adv1m_retry_py.log 2>&1
+echo "[$(date +%H:%M:%S)] adv1m retry exit=$?"
 env R3_DEADLINE="$DL" python tools/r4_night2.py mips_full \
     > /tmp/r4_mips_retry_py.log 2>&1
 echo "[$(date +%H:%M:%S)] mips_full retry exit=$?"
