@@ -15,9 +15,13 @@ if [ "$NOW" -gt $(( DL - 900 )) ]; then
     echo "[$(date +%H:%M:%S)] < 15 min to deadline — skipping mips retry"
     exit 0
 fi
-echo "[$(date +%H:%M:%S)] endgame done; re-running adv1m then mips_full"
+echo "[$(date +%H:%M:%S)] endgame done; verify_ab rerun, adv1m, mips_full"
 # separate processes: an OOM in one cannot poison the other (tonight's
 # 20:10 cascade took out both phases from one wedged allocator)
+env VAB_DEADLINE=$(( $(date +%s) + 40 * 60 )) \
+    timeout 3000 python tools/r4_verify_ab.py \
+    > /tmp/r4_verify_ab2.log 2>&1
+echo "[$(date +%H:%M:%S)] verify_ab rerun exit=$?"
 env R3_DEADLINE="$DL" python tools/r4_night2.py adv1m \
     > /tmp/r4_adv1m_retry_py.log 2>&1
 echo "[$(date +%H:%M:%S)] adv1m retry exit=$?"
