@@ -292,6 +292,19 @@ def pallas_beam_search_safe(ps, graph, queries, starts, *, beam, limit,
     except Exception as e:  # noqa: BLE001 — deliberate blanket fallback
         import warnings
 
+        from . import pallas_beam as _pb
+
+        if _pb.LAYOUT == "3d":
+            # the batched-dot_general layout is the one Mosaic might reject
+            # at an unexercised shape — drop the process to the proven
+            # segment-matmul layout before giving up on the kernel entirely
+            _pb.LAYOUT = "2d"
+            warnings.warn(
+                f"Pallas beam 3d layout failed ({type(e).__name__}: {e}); "
+                "retrying with the 2d segment-matmul layout", stacklevel=2)
+            return pallas_beam_search_safe(
+                ps, graph, queries, starts, beam=beam, limit=limit,
+                metric=metric, active_in=active_in)
         _PALLAS_BROKEN = True
         warnings.warn(
             f"fused Pallas beam kernel failed ({type(e).__name__}: {e}); "
@@ -305,11 +318,22 @@ def pallas_beam_search(
     """Run the fused Pallas kernel with the XLA-path init semantics
     (start distance computed exactly as batched_beam_search's init —
     see `d0` below) and return a BeamResult (visited arrays empty)."""
-    from .pallas_beam import build_meta, pallas_beam_search_inline
+    from . import pallas_beam as _pb
+    from .pallas_beam import (build_meta, pack_meta_into_blocks,
+                              pallas_beam_search_inline)
 
     if getattr(graph, "nbr_meta", None) is None:
         graph.nbr_meta = build_meta(
             graph.nbrs_dev, graph.nbr_norms, graph.nbr_scale)
+    # one-DMA packed blocks (pallas_beam.PACKED comment): f32 + 3d only,
+    # and only where the extra (R+1)/R copy of the inline slab fits HBM
+    use_packed = (_pb.PACKED and _pb.LAYOUT == "3d"
+                  and graph.nbr_vecs.dtype == jnp.float32
+                  and graph.nbr_meta.shape[1] == graph.nbr_vecs.shape[2]
+                  and graph.nbr_vecs.nbytes <= 6e9)
+    if use_packed and getattr(graph, "nbr_packed", None) is None:
+        graph.nbr_packed = pack_meta_into_blocks(
+            graph.nbr_vecs, graph.nbr_meta)
     w = graph.nbr_vecs.shape[2]
     m = graph.nbrs_dev.shape[0]
     start_safe = jnp.clip(starts, 0, m - 1)
@@ -324,9 +348,10 @@ def pallas_beam_search(
             queries, ps.data[start_gid][:, None, :],
             ps.norms_sq[start_gid][:, None], metric)[:, 0]
     f_ids, f_d, n_vis, cmps = pallas_beam_search_inline(
-        graph.nbr_vecs, graph.nbr_meta, queries[:, :w],
+        graph.nbr_packed if use_packed else graph.nbr_vecs,
+        graph.nbr_meta, queries[:, :w],
         starts, d0, active_in,
-        beam=int(beam), limit=int(limit), metric=metric)
+        beam=int(beam), limit=int(limit), metric=metric, packed=use_packed)
     return BeamResult(f_ids, f_d, n_vis, cmps,
                       f_ids[:, :0], f_d[:, :0])
 

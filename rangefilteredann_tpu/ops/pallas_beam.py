@@ -31,13 +31,41 @@ The frontier layout is [QB queries (sublanes), B beam slots (lanes)],
 kept (dist, id)-sorted ascending — so the kernel's output frontier needs
 no post-sort and feeds window_filter_topk directly.
 
-Distance trick (per-query candidate blocks can't share one matmul): the
-per-query [R, w] blocks land side by side in a [R, QB*w] scratch; one
-elementwise multiply against the lane-concatenated query row [1, QB*w]
-and one MXU matmul with the in-kernel 0/1 block-segment matrix
-S[c, i] = (c // w == i) reduce each query's own w lanes — a block-diagonal
-batched matvec as one dense matmul, with no cross-lane reshapes (Mosaic
-rejects those; CLAUDE.md).
+Distance trick (per-query candidate blocks can't share one matmul),
+selected by the static `layout` knob (env RFANN_PALLAS_LAYOUT):
+
+  * "3d" (default): per-query blocks DMA into a [QB, R_pad, w] scratch and
+    one batched dot_general ([QB, R, w] x [QB, w] -> [QB, R]) computes every
+    query's candidate inner products — the exact op the XLA inline path uses
+    (ops/distances.gathered_distances), so products/sums match bit-for-bit.
+  * "2d" (fallback if Mosaic rejects the batched contraction): blocks land
+    side by side in a [R, QB*w] scratch; one elementwise multiply against
+    the lane-concatenated query row [1, QB*w] and one MXU matmul with the
+    in-kernel 0/1 block-segment matrix S[c, i] = (c // w == i) reduce each
+    query's own w lanes — a block-diagonal batched matvec as one dense
+    matmul, with no cross-lane reshapes (Mosaic rejects those; CLAUDE.md).
+
+Insertion cost (round-4 A/B: the kernel ran 0.72-0.98x of XLA, worst at
+small beams where per-step fixed cost dominates): in the 3d layout each
+candidate first computes a cheap [QB, 1] pre-filter (id valid, strictly
+better than the pre-step worst, lexicographically below the current tail)
+and the full [QB, beam] dup-check + shift-insert runs under a scalar
+pl.when only when ANY query accepts — at steady state most of the R
+candidates fail for every query, so the common-path cost per candidate
+drops ~4x.
+
+DMA cost: the per-step per-query block+meta DMA pair is issue-bound
+(2*QB descriptor writes per step). In the 3d layout both issue and wait
+are pl.when-gated on the query's active flag (lane 1 of cur_scr) —
+finished and padded queries stop costing DMAs, which matters because the
+while loop runs until the slowest query in the block finishes. The
+RFANN_PALLAS_PACKED knob further halves issues by appending the meta row
+to each f32 inline block (one DMA per expansion).
+
+The 2d fallback layout keeps UNGATED DMAs and insertion — the exact
+configuration proven on real chips at 16:02; a pl.when-gated 2d variant
+hung the 20:20 on-chip run (remote-compile hang or on-chip deadlock),
+so every pl.when in this kernel is 3d-only.
 """
 
 from __future__ import annotations
@@ -58,6 +86,18 @@ import os as _os
 # queries per grid block: DMA parallelism + lane fill vs VMEM for the S/V
 # scratches (S is qb^2*w*4 bytes). Tunable for on-chip sweeps.
 QB = int(_os.environ.get("RFANN_PALLAS_QB", "64"))
+
+# distance-layout variant (module docstring): "3d" batched dot_general, or
+# "2d" segment-matmul fallback should Mosaic reject the batched contraction.
+LAYOUT = _os.environ.get("RFANN_PALLAS_LAYOUT", "3d")
+
+# one-DMA packing: concatenate the meta row as row R of each f32 inline
+# block ([m, R+1, w]) so a step issues ONE descriptor per active query
+# instead of two (DMA issue is the kernel's dominant per-step fixed cost).
+# f32 + meta_width == w + layout "3d" only (an int8/bf16 row can't hold
+# f32 meta bits, and the 2d layout can't slice per-query meta lanes back
+# out without a cross-lane reshape).
+PACKED = _os.environ.get("RFANN_PALLAS_PACKED", "0") != "0"
 
 
 def meta_layout(r: int, quant: bool):
@@ -95,17 +135,19 @@ def _beam_kernel(qcat_ref, starts_ref, d0_ref, act_ref,
                  fd_ref, fid_ref, nvis_ref, cmps_ref,
                  v_scr, prod_scr, s_scr, meta_scr, cur_scr, fe_scr,
                  dma_sems,
-                 *, beam, r, w, limit, metric, m, ids_at, quant, qb):
-    r_pad = v_scr.shape[0]
-
-    # --- one-time per block: S segment matrix + frontier init ---
-    iota_c = jax.lax.broadcasted_iota(jnp.int32, (qb * w, qb), 0)
-    iota_i = jax.lax.broadcasted_iota(jnp.int32, (qb * w, qb), 1)
-    s_scr[:] = ((iota_c // w) == iota_i).astype(jnp.float32)
-    if r_pad > r:
-        # rows r..r_pad of V are never DMA'd — zero once so prod stays finite
-        v_scr[pl.ds(r, r_pad - r), :] = jnp.zeros(
-            (r_pad - r, v_scr.shape[1]), v_scr.dtype)
+                 *, beam, r, w, limit, metric, m, ids_at, quant, qb, layout,
+                 packed):
+    if layout == "2d":
+        # --- one-time per block: S segment matrix ---
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (qb * w, qb), 0)
+        iota_i = jax.lax.broadcasted_iota(jnp.int32, (qb * w, qb), 1)
+        s_scr[:] = ((iota_c // w) == iota_i).astype(jnp.float32)
+    # Zero-init V and meta fully: rows of queries whose DMA is skipped
+    # (inactive/padded — see the pl.when-gated issue below) feed the
+    # distance contraction, and garbage VMEM can be NaN; in the 2d layout a
+    # NaN times an S-matrix zero still poisons EVERY query's segment sum.
+    v_scr[...] = jnp.zeros(v_scr.shape, v_scr.dtype)
+    meta_scr[...] = jnp.zeros(meta_scr.shape, jnp.float32)
 
     act = act_ref[:] != 0  # [QB, 1]
     iota_b = jax.lax.broadcasted_iota(jnp.int32, (qb, beam), 1)
@@ -135,40 +177,92 @@ def _beam_kernel(qcat_ref, starts_ref, d0_ref, act_ref,
         fe_scr[:] = jnp.where(hit & active, 1, fe)
         nvis_ref[:] = nvis_ref[:] + active.astype(jnp.int32)
         cur_scr[:, 0:1] = jnp.clip(jnp.where(active, mi, 0), 0, m - 1)
+        cur_scr[:, 1:2] = active.astype(jnp.int32)  # scalar-readable flag
 
-        # --- per-query DMAs: inline vector block + packed meta row ---
-        copies = []
-        for i in range(qb):
+        # --- per-query DMAs: inline vector block + packed meta row.
+        # In the 3d layout, issue AND wait are pl.when-gated on the query's
+        # active flag: finished/padded queries' candidates are masked out
+        # anyway (`valid = ... & active` below), and per-step DMA issue is
+        # the kernel's dominant fixed cost — the loop runs until the
+        # SLOWEST query in the block finishes, so the tail steps carry
+        # mostly inactive queries. Skipped rows keep their zero/stale V
+        # block; the flag cannot change between issue and wait, so
+        # semaphore counts always balance. The 2d layout keeps UNGATED
+        # per-query DMAs (and the ungated insertion below): it is the
+        # Mosaic-rejection fallback and must stay the exact configuration
+        # proven on-chip at 16:02 — a pl.when-gated 2d variant HUNG the
+        # 20:20 on-chip run. ---
+        gated = layout == "3d"
+        nv = r + 1 if packed else r  # packed blocks carry the meta row
+
+        def v_dst(i):
+            return (v_scr.at[pl.ds(0, r), pl.ds(i * w, w)]
+                    if layout == "2d" else v_scr.at[i, pl.ds(0, nv)])
+
+        def _issue(i):
             idx = cur_scr[i, 0]
-            cp_v = pltpu.make_async_copy(
-                vecs_hbm.at[idx],
-                v_scr.at[pl.ds(0, r), pl.ds(i * w, w)],
-                dma_sems.at[0],
-            )
-            cp_m = pltpu.make_async_copy(
-                meta_hbm.at[idx], meta_scr.at[i], dma_sems.at[1])
-            cp_v.start()
-            cp_m.start()
-            copies.append((cp_v, cp_m))
-        for cp_v, _ in copies:
-            cp_v.wait()
+            pltpu.make_async_copy(
+                vecs_hbm.at[idx], v_dst(i), dma_sems.at[0]).start()
+            if not packed:
+                pltpu.make_async_copy(
+                    meta_hbm.at[idx], meta_scr.at[i], dma_sems.at[1]).start()
 
-        # --- distances: one elementwise + one MXU segment-sum matmul.
-        # int8 blocks upcast to f32 (exact); the wrapper pre-rounds the
-        # query row to bf16 for quant blocks, so every product matches the
-        # XLA path's bf16xbf16 -> f32 MXU products exactly; HIGHEST keeps
-        # the f32 segment sums exact. The meta-row DMAs (needed only after
-        # the matmul) stay in flight across it. ---
-        prod_scr[:] = v_scr[:].astype(jnp.float32) * qcat_ref[0:1, :]
-        ips_t = jax.lax.dot_general(  # [R_pad, QB]
-            prod_scr[:], s_scr[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        for _, cp_m in copies:
-            cp_m.wait()
-        ips = ips_t.T  # [QB, R_pad]
+        def _wait_v(i):
+            idx = cur_scr[i, 0]
+            pltpu.make_async_copy(
+                vecs_hbm.at[idx], v_dst(i), dma_sems.at[0]).wait()
+
+        for i in range(qb):
+            if gated:
+                pl.when(cur_scr[i, 1] != 0)(functools.partial(_issue, i))
+            else:
+                _issue(i)
+        for i in range(qb):
+            if gated:
+                pl.when(cur_scr[i, 1] != 0)(functools.partial(_wait_v, i))
+            else:
+                _wait_v(i)
+
+        # --- distances. int8 blocks upcast to f32 (exact); the wrapper
+        # pre-rounds the query row to bf16 for quant blocks, so every
+        # product matches the XLA path's bf16xbf16 -> f32 MXU products
+        # exactly; HIGHEST keeps the f32 sums exact. The meta-row DMAs
+        # (needed only after the contraction) stay in flight across it. ---
+        if layout == "2d":
+            # one elementwise + one MXU segment-sum matmul + transpose
+            prod_scr[:] = v_scr[:].astype(jnp.float32) * qcat_ref[0:1, :]
+            ips_t = jax.lax.dot_general(  # [R_pad, QB]
+                prod_scr[:], s_scr[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        else:
+            # batched matvec: same dot_general as the XLA inline path
+            # (ops/distances.gathered_distances) — [QB, R_pad] directly
+            ips_t = jax.lax.dot_general(
+                v_scr[:].astype(jnp.float32), qcat_ref[:],
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        if packed:
+            # meta arrived as row r of each query's packed block — one
+            # strided VMEM slice replaces the second DMA entirely
+            meta_scr[...] = v_scr[:, r, :]
+        else:
+            def _wait_m(i):
+                idx = cur_scr[i, 0]
+                pltpu.make_async_copy(
+                    meta_hbm.at[idx], meta_scr.at[i], dma_sems.at[1]).wait()
+
+            for i in range(qb):
+                if gated:
+                    pl.when(cur_scr[i, 1] != 0)(
+                        functools.partial(_wait_m, i))
+                else:
+                    _wait_m(i)
+        ips = ips_t.T if layout == "2d" else ips_t  # [QB, R_pad]
         nrm = meta_scr[:, :r]  # [QB, R]
         cids = jax.lax.bitcast_convert_type(
             meta_scr[:, ids_at:ids_at + r], jnp.int32)  # [QB, R]
@@ -188,32 +282,45 @@ def _beam_kernel(qcat_ref, starts_ref, d0_ref, act_ref,
 
         # --- sequential exact insertion of the R candidates ---
         # strict filter vs the PRE-STEP worst (XLA/ref parity: ties with the
-        # old worst drop), lexicographic (dist, id) vs the CURRENT tail
+        # old worst drop), lexicographic (dist, id) vs the CURRENT tail.
+        # The cheap [QB, 1] pre-filter (validity, pre-step worst, current
+        # tail) needs only two tail lanes of the frontier; in the 3d layout
+        # the [QB, beam] dup-check + shift-insert run under pl.when only
+        # when some query passes it — the dup-check alone cannot flip
+        # pre-true to accepted for a DIFFERENT query, so skipping on
+        # all-pre-false is exact. The 2d fallback runs it unconditionally
+        # (the proven-on-chip form — see the DMA comment above).
         wd0 = fd_ref[:, beam - 1:beam]  # pre-step tail dist
         for j in range(r):
             cd = cd_all[:, j:j + 1]
             cid = cids[:, j:j + 1]
-            fd = fd_ref[:]
-            fid = fid_ref[:]
-            fe = fe_scr[:]
-            dup = jnp.any(fid == cid, axis=1, keepdims=True)
-            tail_d = fd[:, beam - 1:beam]
-            tail_i = fid[:, beam - 1:beam]
+            tail_d = fd_ref[:, beam - 1:beam]
+            tail_i = fid_ref[:, beam - 1:beam]
             lex_lt = (cd < tail_d) | ((cd == tail_d) & (cid < tail_i))
-            ok = (cid != EMPTY_ID) & ~dup & (cd < wd0) & lex_lt  # [QB, 1]
-            # sorted insertion (ties: candidate goes after equal (d, id<cid))
-            stay = (fd < cd) | ((fd == cd) & (fid <= cid))
-            pos = jnp.sum(stay.astype(jnp.int32), axis=1, keepdims=True)
-            is_pos = iota_b == pos
-            prev_d = jnp.concatenate([fd[:, :1], fd[:, :-1]], axis=1)
-            prev_i = jnp.concatenate([fid[:, :1], fid[:, :-1]], axis=1)
-            prev_e = jnp.concatenate([fe[:, :1], fe[:, :-1]], axis=1)
-            nd = jnp.where(stay, fd, jnp.where(is_pos, cd, prev_d))
-            ni = jnp.where(stay, fid, jnp.where(is_pos, cid, prev_i))
-            ne = jnp.where(stay, fe, jnp.where(is_pos, 0, prev_e))
-            fd_ref[:] = jnp.where(ok, nd, fd)
-            fid_ref[:] = jnp.where(ok, ni, fid)
-            fe_scr[:] = jnp.where(ok, ne, fe)
+            pre = (cid != EMPTY_ID) & (cd < wd0) & lex_lt  # [QB, 1]
+
+            def _insert(cd=cd, cid=cid, pre=pre):
+                fd = fd_ref[:]
+                fid = fid_ref[:]
+                fe = fe_scr[:]
+                dup = jnp.any(fid == cid, axis=1, keepdims=True)
+                # sorted insertion (ties: candidate after equal (d, id<cid))
+                stay = (fd < cd) | ((fd == cd) & (fid <= cid))
+                keep = stay | dup | ~pre
+                pos = jnp.sum(stay.astype(jnp.int32), axis=1, keepdims=True)
+                is_pos = iota_b == pos
+                prev_d = jnp.concatenate([fd[:, :1], fd[:, :-1]], axis=1)
+                prev_i = jnp.concatenate([fid[:, :1], fid[:, :-1]], axis=1)
+                prev_e = jnp.concatenate([fe[:, :1], fe[:, :-1]], axis=1)
+                fd_ref[:] = jnp.where(keep, fd, jnp.where(is_pos, cd, prev_d))
+                fid_ref[:] = jnp.where(
+                    keep, fid, jnp.where(is_pos, cid, prev_i))
+                fe_scr[:] = jnp.where(keep, fe, jnp.where(is_pos, 0, prev_e))
+
+            if gated:
+                pl.when(jnp.any(pre))(_insert)
+            else:
+                _insert()
 
         still = ((fe_scr[:] == 0) & (fid_ref[:] != EMPTY_ID)
                  ).any(axis=1, keepdims=True) & (nvis_ref[:] < limit)
@@ -222,11 +329,36 @@ def _beam_kernel(qcat_ref, starts_ref, d0_ref, act_ref,
     jax.lax.while_loop(cond, body, jnp.int32(1))
 
 
+def pallas_beam_search_inline(
+        nbr_vecs, meta, queries, starts, d0, active, *, beam, limit, metric,
+        interpret=False, qb=None, layout=None, packed=False):
+    """Resolve the env-default knobs OUTSIDE the jit so a process-wide
+    fallback (LAYOUT flipped to "2d" after a Mosaic rejection — see
+    beam_search.pallas_beam_search_safe) reaches a fresh jit cache key.
+    With packed=True, nbr_vecs must be the [m, R+1, w] f32 array from
+    pack_meta_into_blocks (meta as row R; one DMA per expansion)."""
+    return _pallas_beam_search_inline(
+        nbr_vecs, meta, queries, starts, d0, active, beam=beam, limit=limit,
+        metric=metric, interpret=interpret,
+        qb=QB if qb is None else qb,
+        layout=LAYOUT if layout is None else layout, packed=packed)
+
+
+def pack_meta_into_blocks(nbr_vecs: jax.Array, meta: jax.Array) -> jax.Array:
+    """[m, R+1, w] f32: each node's inline block with its meta row appended
+    as row R. Only valid for f32 blocks whose width equals the meta width
+    (module PACKED comment)."""
+    assert nbr_vecs.dtype == jnp.float32
+    assert meta.shape[1] == nbr_vecs.shape[2], (meta.shape, nbr_vecs.shape)
+    return jnp.concatenate([nbr_vecs, meta[:, None, :]], axis=1)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("beam", "limit", "metric", "interpret", "qb"),
+    static_argnames=("beam", "limit", "metric", "interpret", "qb", "layout",
+                     "packed"),
 )
-def pallas_beam_search_inline(
+def _pallas_beam_search_inline(
     nbr_vecs: jax.Array,  # [m, R, w] inline neighbor vectors (f32/bf16/int8)
     meta: jax.Array,  # [m, 128|256] packed norms+ids(+scale) (build_meta)
     queries: jax.Array,  # [Q, w] f32 (exactly the inline width)
@@ -240,6 +372,8 @@ def pallas_beam_search_inline(
     metric: str,
     interpret: bool = False,
     qb: "int | None" = None,
+    layout: "str | None" = None,
+    packed: bool = False,
 ):
     """Fused beam search over inline blocks. Returns (f_ids [Q, beam] i32,
     f_d [Q, beam] f32, n_vis [Q] i32, cmps [Q] i32) with the frontier
@@ -248,12 +382,16 @@ def pallas_beam_search_inline(
     if metric not in (METRIC_L2, METRIC_MIPS):
         raise ValueError(metric)
     m, r, w = nbr_vecs.shape
+    if packed:
+        assert layout == "3d" and nbr_vecs.dtype == jnp.float32, (
+            "packed blocks are 3d + f32 only")
+        r -= 1  # row r of each block is the meta row
     q = queries.shape[0]
-    qb = QB if qb is None else qb
+    assert layout in ("2d", "3d"), layout
     assert q % qb == 0, f"Q={q} must be a multiple of qb={qb}"
     assert queries.shape[1] == w
     n_blocks = q // qb
-    r_pad = -(-r // 8) * 8
+    r_pad = -(-nbr_vecs.shape[1] // 8) * 8  # scratch rows incl. packed meta
     quant = meta.shape[1] == 256
     _, ids_at = meta_layout(r, quant)
 
@@ -264,18 +402,37 @@ def pallas_beam_search_inline(
         # instead upcast to f32 before the XLA matmul (query unrounded), so
         # they take the plain f32 path here.
         queries = queries.astype(jnp.bfloat16).astype(jnp.float32)
-    # Mosaic requires a block's sublane dim to be a multiple of 8 (or the
-    # full array dim) — a (1, qb*w) qcat block fails to lower on real TPUs
-    # (interpret mode doesn't check). Replicate each block's lane-concatenated
-    # query row 8x so the block is (8, qb*w); the kernel reads sublane 0.
-    qcat = jnp.repeat(queries.reshape(n_blocks, qb * w), 8, axis=0)
+    if layout == "2d":
+        # Mosaic requires a block's sublane dim to be a multiple of 8 (or
+        # the full array dim) — a (1, qb*w) qcat block fails to lower on
+        # real TPUs (interpret mode doesn't check). Replicate each block's
+        # lane-concatenated query row 8x; the kernel reads sublane 0.
+        qcat = jnp.repeat(queries.reshape(n_blocks, qb * w), 8, axis=0)
+        q_spec = pl.BlockSpec((8, qb * w), lambda b: (b, 0),
+                              memory_space=pltpu.VMEM)
+        v_scratch = [
+            pltpu.VMEM((r_pad, qb * w), nbr_vecs.dtype),  # V: vector blocks
+            pltpu.VMEM((r_pad, qb * w), jnp.float32),  # prod
+            pltpu.VMEM((qb * w, qb), jnp.float32),  # S segment matrix
+        ]
+    else:
+        # 3d: the query block is the natural [qb, w]; V holds per-query
+        # [R_pad, w] blocks batch-major for the batched dot_general. prod/S
+        # are unused — tiny placeholder scratches keep one kernel signature.
+        qcat = queries
+        q_spec = pl.BlockSpec((qb, w), lambda b: (b, 0),
+                              memory_space=pltpu.VMEM)
+        v_scratch = [
+            pltpu.VMEM((qb, r_pad, w), nbr_vecs.dtype),  # V: vector blocks
+            pltpu.VMEM((8, 128), jnp.float32),  # unused (2d prod)
+            pltpu.VMEM((8, 128), jnp.float32),  # unused (2d S)
+        ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((8, qb * w), lambda b: (b, 0),
-                         memory_space=pltpu.VMEM),
+            q_spec,
             pl.BlockSpec((qb, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((qb, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((qb, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
@@ -290,10 +447,7 @@ def pallas_beam_search_inline(
             pl.BlockSpec((qb, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((qb, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((r_pad, qb * w), nbr_vecs.dtype),  # V: vector blocks
-            pltpu.VMEM((r_pad, qb * w), jnp.float32),  # prod
-            pltpu.VMEM((qb * w, qb), jnp.float32),  # S segment matrix
+        scratch_shapes=v_scratch + [
             pltpu.VMEM((qb, meta.shape[1]), jnp.float32),  # meta rows
             pltpu.VMEM((qb, 128), jnp.int32),  # cur node ids
             pltpu.VMEM((qb, beam), jnp.int32),  # explored flags
@@ -302,7 +456,8 @@ def pallas_beam_search_inline(
     )
     kern = functools.partial(
         _beam_kernel, beam=beam, r=r, w=w, limit=int(limit),
-        metric=metric, m=m, ids_at=ids_at, quant=quant, qb=qb)
+        metric=metric, m=m, ids_at=ids_at, quant=quant, qb=qb, layout=layout,
+        packed=packed)
     fd, fid, nvis, cmps = pl.pallas_call(
         kern,
         grid_spec=grid_spec,

@@ -18,6 +18,7 @@ from rangefilteredann_tpu.ops.beam_search import batched_beam_search
 from rangefilteredann_tpu.ops.pallas_beam import (
     QB,
     build_meta,
+    pack_meta_into_blocks,
     pallas_beam_search_inline,
 )
 from rangefilteredann_tpu.ops.distances import gathered_distances
@@ -41,10 +42,12 @@ def _random_slab(rng, m, r, w):
             jnp.asarray(nbr_vecs), jnp.asarray(nbr_norms))
 
 
+@pytest.mark.parametrize("layout,packed", [("2d", False), ("3d", False),
+                                           ("3d", True)])
 @pytest.mark.parametrize("metric", ["l2", "mips"])
 @pytest.mark.parametrize("r,beam,limit", [(5, 8, 10_000), (48, 40, 10_000),
                                           (48, 40, 7)])
-def test_pallas_beam_matches_xla(metric, r, beam, limit):
+def test_pallas_beam_matches_xla(metric, r, beam, limit, layout, packed):
     rng = np.random.default_rng(42 + r + beam)
     m, w, q = 300, 128, QB
     data, norms, nbrs, nbr_vecs, nbr_norms = _random_slab(rng, m, r, w)
@@ -66,9 +69,11 @@ def test_pallas_beam_matches_xla(metric, r, beam, limit):
         queries, data[jnp.clip(starts, 0, m - 1)][:, None, :],
         norms[jnp.clip(starts, 0, m - 1)][:, None], metric)[:, 0]
     meta = build_meta(nbrs, nbr_norms)
+    vecs_arg = pack_meta_into_blocks(nbr_vecs, meta) if packed else nbr_vecs
     f_ids, f_d, n_vis, cmps = pallas_beam_search_inline(
-        nbr_vecs, meta, queries, starts, d0, active,
-        beam=beam, limit=limit, metric=metric, interpret=True)
+        vecs_arg, meta, queries, starts, d0, active,
+        beam=beam, limit=limit, metric=metric, interpret=True, layout=layout,
+        packed=packed)
 
     np.testing.assert_array_equal(np.asarray(f_ids), np.asarray(
         ref.frontier_ids), err_msg="frontier ids diverge")
@@ -82,8 +87,9 @@ def test_pallas_beam_matches_xla(metric, r, beam, limit):
     np.testing.assert_allclose(got_d[fin], ref_d[fin], rtol=1e-6, atol=1e-5)
 
 
+@pytest.mark.parametrize("layout", ["2d", "3d"])
 @pytest.mark.parametrize("metric", ["l2", "mips"])
-def test_pallas_beam_int8_quant_matches_xla(metric):
+def test_pallas_beam_int8_quant_matches_xla(metric, layout):
     """int8-quantized inline blocks (the 1M flagship config): same frontier
     as the XLA quant path — including the bf16 query rounding."""
     rng = np.random.default_rng(7)
@@ -114,7 +120,7 @@ def test_pallas_beam_int8_quant_matches_xla(metric):
     assert meta.shape[1] == 256
     f_ids, f_d, n_vis, cmps = pallas_beam_search_inline(
         nbr_vecs, meta, queries, starts, d0, active,
-        beam=beam, limit=10_000, metric=metric, interpret=True)
+        beam=beam, limit=10_000, metric=metric, interpret=True, layout=layout)
     # The quant path is approximate BY DESIGN (int8 frontier scores; callers
     # exact-rerank the final candidates — models/postfilter_vamana.py). The
     # two kernels sum the same exact f32 products in different orders, so
