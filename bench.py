@@ -312,7 +312,8 @@ def main():
         }
 
     # --- B-WST tree methods — only when the row caches exist (a cold tree
-    # build is ~5 min at this scale; the driver's bench run must stay bounded)
+    # build is ~34 min at this scale — tools/r5_prebuild.py measured timings;
+    # the driver's bench run must stay bounded)
     from rangefilteredann_tpu.models.range_filter_tree import (
         build_offset_rows, row_cache_filename)
 
