@@ -38,7 +38,7 @@ from rangefilteredann_tpu import (BuildParams, SuperOptimizedPostfilterTree,
 from rangefilteredann_tpu.models.prefilter import PrefilterIndex
 
 DEADLINE = float(os.environ.get("S1M_DEADLINE", time.time() + 150 * 60))
-OUT = "results/super_1m_r4.csv"
+OUT = os.environ.get("S1M_OUT", "results/super_1m_r5.csv")
 CUTOFF, SPLIT, SHIFT = 31_250, 2.0, 0.5
 
 
