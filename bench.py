@@ -311,22 +311,62 @@ def main():
             "note": "useful flops (dist_cmps x 2D) / e2e time at best config",
         }
 
-    # --- B-WST tree methods — only when the row caches exist (a cold tree
-    # build is ~34 min at this scale — tools/r5_prebuild.py measured timings;
-    # the driver's bench run must stay bounded)
+    # --- B-WST tree methods. When the row caches are missing (machine reset
+    # wiped the gitignored bench_cache/ — rounds 4 and 5 both hit this), the
+    # bench REBUILDS them inline, deadline-gated, BEFORE timing: cache-or-
+    # build-on-construct like the reference (ref: src/postfilter_vamana.h:
+    # 54-79), bounded so a driver bench run can't grow unboundedly. Budget
+    # via RFANN_BENCH_BUILD_SECS (default 3600: B-WST rows ~34 min fit,
+    # super rows ~65 min need an explicitly raised budget).
     from rangefilteredann_tpu.models.range_filter_tree import (
         build_offset_rows, row_cache_filename)
+    from rangefilteredann_tpu.models.super_postfilter_tree import (
+        super_row_cache_filename,
+        super_row_layout,
+    )
 
     tree_bp = BuildParams(R=48, L=100, alpha=1.2, cache_path="bench_cache/")
-    # probe row 1 AND the last row: row 0 lives in the SHARED whole-dataset
-    # vamana cache (the flat build above wrote it), so no wst_*_row0.npz ever
-    # exists; a night build killed mid-tree leaves early rows only, and a
-    # partial tree would trigger an unbounded cold build here
-    n_rows = len(build_offset_rows(N, 1000, 2))
-    if all(os.path.exists(row_cache_filename(
+    build_deadline = time.time() + float(
+        os.environ.get("RFANN_BENCH_BUILD_SECS", "3600"))
+
+    def _tree_rows_cached():
+        n_r = len(build_offset_rows(N, 1000, 2))
+        # probe row 1 AND the last row: row 0 lives in the SHARED whole-
+        # dataset vamana cache; a build killed mid-tree leaves early rows
+        return all(os.path.exists(row_cache_filename(
             "bench_cache/", tree_bp, float(labels.min()),
             float(labels.max()), N, 2, 1000, r))
-           for r in (1, n_rows - 1)):
+            for r in (1, n_r - 1))
+
+    def _super_rows_cached():
+        n_s = len(super_row_layout(N, 1000, 2.0, 0.5))
+        return all(os.path.exists(super_row_cache_filename(
+            "bench_cache/", tree_bp, float(labels.min()),
+            float(labels.max()), N, 2.0, 0.5, 1000, r))
+            for r in (1, n_s - 1))
+
+    if on_tpu and not _tree_rows_cached() \
+            and build_deadline - time.time() > 40 * 60:
+        log("bench: rebuilding 200k B-WST row caches (~34 min)...")
+        t0 = time.time()
+        try:
+            RangeFilterTreeIndex(points, labels, cutoff=1000, split_factor=2,
+                                 build_params=tree_bp)
+            log(f"bench: B-WST rows rebuilt in {(time.time()-t0)/60:.1f} min")
+        except Exception as e:  # noqa: BLE001 — timing families must survive
+            log(f"bench: B-WST row rebuild failed: {type(e).__name__}: {e}")
+    if on_tpu and not _super_rows_cached() \
+            and build_deadline - time.time() > 70 * 60:
+        log("bench: rebuilding 200k super row caches (~65 min)...")
+        t0 = time.time()
+        try:
+            SuperOptimizedPostfilterTree(
+                points, labels, cutoff=1000, split_factor=2.0,
+                shift_factor=0.5, build_params=tree_bp)
+            log(f"bench: super rows rebuilt in {(time.time()-t0)/60:.1f} min")
+        except Exception as e:  # noqa: BLE001
+            log(f"bench: super row rebuild failed: {type(e).__name__}: {e}")
+    if _tree_rows_cached():
         try:
             tree = RangeFilterTreeIndex(
                 points, labels, cutoff=1000, split_factor=2,
@@ -353,16 +393,7 @@ def main():
     else:
         skip("fenwick/optimized_postfilter/three_split", "row caches absent")
 
-    from rangefilteredann_tpu.models.super_postfilter_tree import (
-        super_row_cache_filename,
-        super_row_layout,
-    )
-
-    n_super_rows = len(super_row_layout(N, 1000, 2.0, 0.5))
-    if all(os.path.exists(super_row_cache_filename(
-            "bench_cache/", tree_bp, float(labels.min()),
-            float(labels.max()), N, 2.0, 0.5, 1000, r))
-           for r in (1, n_super_rows - 1)):
+    if _super_rows_cached():
         try:
             sup = SuperOptimizedPostfilterTree(
                 points, labels, cutoff=1000, split_factor=2.0,
@@ -468,9 +499,6 @@ def bench_10m():
     if not all(os.path.exists(f"{data_dir}/{n}.npy") for n in names):
         skip("10m", "dataset cache absent (/tmp/night10m_data)")
         return {}
-    if not glob.glob("bench_cache/deep10m_l2/vamana_100_48_*_10000000.npz"):
-        skip("10m", "flat graph cache absent (bench_cache/deep10m_l2)")
-        return {}
     gc.collect()  # drop the 1M section's device buffers before 7 GB lands
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.abspath(__file__)), "tools"))
@@ -501,35 +529,39 @@ def bench_10m():
     del pre
     gc.collect()
 
-    idx = PostfilterVamanaIndex(
-        points, labels,
-        BuildParams(R=48, L=100, alpha=1.2,
-                    cache_path="bench_cache/deep10m_l2/"),
-        metric="l2", require_cache=True)
-    best = {"qps": 0.0}
-    for beam, fm in ((320, 2), (640, 2)):
-        qp = build_query_params(k, beam, final_beam_multiply=fm)
-        box = {}
+    if glob.glob("bench_cache/deep10m_l2/vamana_100_48_*_10000000.npz"):
+        idx = PostfilterVamanaIndex(
+            points, labels,
+            BuildParams(R=48, L=100, alpha=1.2,
+                        cache_path="bench_cache/deep10m_l2/"),
+            metric="l2", require_cache=True)
+        best = {"qps": 0.0}
+        for beam, fm in ((320, 2), (640, 2)):
+            qp = build_query_params(k, beam, final_beam_multiply=fm)
+            box = {}
 
-        def run(qp=qp, box=box):
-            box["ids"], _ = idx.batch_search(queries, filters, nq, qp)
+            def run(qp=qp, box=box):
+                box["ids"], _ = idx.batch_search(queries, filters, nq, qp)
 
-        dt, rtts = best_of_metered(run, reps=2)
-        rec = float(np.mean([
-            len(gt_sets[i] & set(box["ids"][i].astype(np.int64).tolist()))
-            / k for i in range(nq)]))
-        log(f"10M postfilter beam={beam} fm={fm}: recall={rec:.4f} "
-            f"qps={nq/dt:.0f}")
-        if rec >= 0.9 and nq / dt > best["qps"]:
-            best = {"qps": round(nq / dt, 1), "recall": round(rec, 4),
-                    "config": f"R=48,L=100,beam={beam},fm={fm},frac=2^-2",
-                    "device_qps_est": round(device_est(nq, dt, rtts), 1)}
-    if best["qps"]:
-        out["postfilter"] = best
+            dt, rtts = best_of_metered(run, reps=2)
+            rec = float(np.mean([
+                len(gt_sets[i] & set(box["ids"][i].astype(np.int64).tolist()))
+                / k for i in range(nq)]))
+            log(f"10M postfilter beam={beam} fm={fm}: recall={rec:.4f} "
+                f"qps={nq/dt:.0f}")
+            if rec >= 0.9 and nq / dt > best["qps"]:
+                best = {"qps": round(nq / dt, 1), "recall": round(rec, 4),
+                        "config": f"R=48,L=100,beam={beam},fm={fm},frac=2^-2",
+                        "device_qps_est": round(device_est(nq, dt, rtts), 1)}
+        if best["qps"]:
+            out["postfilter"] = best
+        else:
+            skip("10m_postfilter", "no config reached recall 0.9")
+        del idx
+        gc.collect()
     else:
-        skip("10m_postfilter", "no config reached recall 0.9")
-    del idx
-    gc.collect()
+        skip("10m_postfilter",
+             "flat graph cache absent (bench_cache/deep10m_l2)")
 
     # 2-row B-WST (fenwick): at 10M the windowed fringe scan makes this
     # exact AND faster than the full prefilter scan — the first scale where
@@ -583,9 +615,6 @@ def bench_12m():
                for n in ("data", "labels", "queries")):
         skip("12m", "dataset cache absent (/tmp/redcaps12m_data)")
         return {}
-    if not glob.glob("bench_cache/redcaps12m/vamana_100_48_*_12000000.npz"):
-        skip("12m", "flat graph cache absent (bench_cache/redcaps12m)")
-        return {}
     gc.collect()  # the padded uint8 store is 6.1 GB on-chip; never hold two
     from rangefilteredann_tpu import BuildParams, build_query_params
     from rangefilteredann_tpu.models.postfilter_vamana import (
@@ -617,6 +646,10 @@ def bench_12m():
     del pre
     gc.collect()
 
+    if not glob.glob("bench_cache/redcaps12m/vamana_100_48_*_12000000.npz"):
+        skip("12m_postfilter",
+             "flat graph cache absent (bench_cache/redcaps12m)")
+        return out
     idx = PostfilterVamanaIndex(
         points, labels,
         BuildParams(R=48, L=100, alpha=1.2,
@@ -674,9 +707,8 @@ def bench_1m(recall_of_k=10):
     lo_l, hi_l = float(labels.min()), float(labels.max())
     cache = os.path.join(
         "bench_cache", f"vamana_500_64_{1.2:.6f}_{lo_l:.6f}_{hi_l:.6f}_{n}.npz")
-    if not os.path.exists(cache):
-        skip("1m", f"graph cache absent ({cache})")
-        return {}
+    # the exact prefilter needs no graph cache — measure it regardless, so a
+    # machine reset can never blank the whole 1M family (round-4 weak #1)
     queries = (centers[rng.integers(0, 1000, NQ)]
                + 0.35 * rng.normal(size=(NQ, d))).astype(np.float32)
     starts = rng.uniform(0, 1 - FRACTION, size=NQ)
@@ -732,6 +764,8 @@ def bench_1m(recall_of_k=10):
     # here must not discard the already-measured prefilter numbers above
     idx = None
     try:
+        if not os.path.exists(cache):
+            raise FileNotFoundError(f"graph cache absent ({cache})")
         idx = PostfilterVamanaIndex(
             points, labels,
             BuildParams(R=64, L=500, alpha=1.2, cache_path="bench_cache/"),

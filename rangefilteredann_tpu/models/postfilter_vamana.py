@@ -446,9 +446,19 @@ class PostfilterVamanaIndex:
             raise FileNotFoundError(
                 f"require_cache: graph cache absent or fingerprint-mismatched"
                 f" ({fname})")
-        g = build_vamana_graph(self._ps, s2g, offsets, bp, seed=seed)
         if fname:
             os.makedirs(os.path.dirname(fname), exist_ok=True)
+        # step-level checkpoint alongside the cache: a 10M+ flat build is
+        # hours, and this environment resets machines / faults TPU workers —
+        # the reference's resume unit is the whole cached graph (ref:
+        # postfilter_vamana.h:54-79); a flat index has exactly one, so resume
+        # must happen inside the build
+        g = build_vamana_graph(self._ps, s2g, offsets, bp, seed=seed,
+                               checkpoint_path=(fname + ".ckpt.npz")
+                               if fname else None,
+                               verbose=bool(int(os.environ.get(
+                                   "RFANN_BUILD_VERBOSE", "0"))))
+        if fname:
             np.savez_compressed(fname, nbrs=g.nbrs_host, fingerprint=self._fp)
         return g
 

