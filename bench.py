@@ -626,6 +626,24 @@ def bench_12m():
     labels = np.load(f"{data_dir}/labels.npy")
     queries = np.load(f"{data_dir}/queries.npy").astype(np.float32)
     nq = queries.shape[0]
+    # REAL query workload: the reference ships its actual 800 CLIP text
+    # queries (ref: artifacts/redcaps-512-angular_queries.npy, consumed by
+    # experiments/run_our_method.py's redcaps config). When that artifact is
+    # readable, tile it to the bench batch and map it through the synthetic
+    # store's affine quantization (x -> 360x + 128, tools/redcaps12m.py
+    # SCALE) so L2 against the uint8 store ranks as angular similarity —
+    # the query GEOMETRY (norms, inter-query spread) is then real even
+    # though the 12M store is a latent-16 stand-in (no egress for the real
+    # image embeddings). GT is recomputed exactly below either way.
+    # RFANN_12M_SYNTH_Q=1 keeps the old synthetic stream.
+    real_q = "/root/reference/artifacts/redcaps-512-angular_queries.npy"
+    q_kind = "synthetic"
+    if (os.path.exists(real_q)
+            and not int(os.environ.get("RFANN_12M_SYNTH_Q", "0"))):
+        rq = np.load(real_q).astype(np.float32)  # [800, 512] unit-norm
+        reps = -(-nq // rq.shape[0])
+        queries = np.tile(rq * 360.0 + 128.0, (reps, 1))[:nq]
+        q_kind = f"real-clip-{rq.shape[0]}"
     # fraction 2^-2 filter stream — EXACT replica of tools/redcaps12m.py's
     # frac_filters(2) so recalls line up with results/redcaps12m_r4.csv
     frng = np.random.default_rng(7002)
@@ -639,9 +657,10 @@ def bench_12m():
     gt_sets = [set(r.astype(np.int64).tolist()) for r in gt_ids]
     dt, rtts = best_of_metered(
         lambda: pre.batch_search(queries, filters, nq, qp10), reps=3)
-    log(f"12M uint8 prefilter (exact): qps={nq/dt:.0f}")
+    log(f"12M uint8 prefilter (exact, {q_kind} queries): qps={nq/dt:.0f}")
     out["prefilter"] = {
-        "qps": round(nq / dt, 1), "recall": 1.0, "config": "exact,frac=2^-2",
+        "qps": round(nq / dt, 1), "recall": 1.0,
+        "config": f"exact,frac=2^-2,q={q_kind}",
         "device_qps_est": round(device_est(nq, dt, rtts), 1)}
     del pre
     gc.collect()
@@ -671,7 +690,8 @@ def bench_12m():
             f"qps={nq/dt:.0f}")
         if rec >= 0.9 and nq / dt > best["qps"]:
             best = {"qps": round(nq / dt, 1), "recall": round(rec, 4),
-                    "config": f"R=48,L=100,beam={beam},fm={fm},frac=2^-2",
+                    "config": f"R=48,L=100,beam={beam},fm={fm},"
+                              f"frac=2^-2,q={q_kind}",
                     "device_qps_est": round(device_est(nq, dt, rtts), 1)}
         if rec >= 0.99:
             break  # the ladder is ascending-cost; good enough
