@@ -869,6 +869,35 @@ def bench_1m(recall_of_k=10):
                     break
             if best_t["qps"]:
                 out["fenwick"] = best_t
+            # optimized_postfilter reuses the same rows and was the top
+            # graph family at 200k (1.00 result-parts/query vs fenwick's
+            # 8.00 — results/tree_plan_200k_r5.txt)
+            best_o = {"qps": 0.0}
+            for beam in (40, 80):
+                qp = build_query_params(k, beam, final_beam_multiply=2)
+                box = {}
+
+                def run_o(qp=qp, box=box):
+                    box["ids"], _ = tree.batch_search(
+                        queries, filters, NQ, "optimized_postfilter", qp)
+
+                dt, rtts = best_of_metered(run_o, reps=2)
+                rec = float(np.mean([
+                    len(gt_sets[i]
+                        & set(box["ids"][i].astype(np.int64).tolist())) / k
+                    for i in range(NQ)]))
+                log(f"1M optimized_postfilter beam={beam}: recall={rec:.4f} "
+                    f"qps={NQ/dt:.0f}")
+                if rec >= 0.9 and NQ / dt > best_o["qps"]:
+                    best_o = {
+                        "qps": round(NQ / dt, 1), "recall": round(rec, 4),
+                        "config": f"R=48,L=100,beam={beam},fm=2",
+                        "device_qps_est": round(device_est(NQ, dt, rtts), 1),
+                    }
+                if rec >= 0.99:
+                    break
+            if best_o["qps"]:
+                out["optimized_postfilter"] = best_o
         except Exception as e:  # noqa: BLE001 — keep the partial out
             skip("1m_fenwick", f"{type(e).__name__}: {e}")
     else:
