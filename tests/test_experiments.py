@@ -75,3 +75,43 @@ def test_baseline_runners_skip_cleanly(capsys):
     run_msvbase.run("nonexistent-dataset", host="127.0.0.1", port=1)
     out = capsys.readouterr().out
     assert "skipping" in out
+
+
+def test_create_table_speedup(tmp_path, capsys):
+    """Speedup = best our-method qps / best baseline qps above the recall
+    threshold, per filter width (ref: experiments/create_table.py:5-37);
+    filter_width strips filename-join underscores, method groups by its
+    prefix before the first '_', and a side with no qualifying rows yields
+    NaN in the table."""
+    import math
+
+    from rangefilteredann_tpu.experiments.create_table import (
+        _latex_table, main, speedup_of_our_best_method)
+
+    rows = [
+        "filter_width,method,recall,average_time,qps,threads",
+        "_2pow-2_,vamana-tree_40_2,0.95,0.001,1000.0,1",
+        "_2pow-2_,optimized-postfiltering_80_2,0.99,0.001,3000.0,1",
+        "_2pow-2_,postfiltering_40_2,0.92,0.001,500.0,1",
+        "_2pow-2_,milvus_16,0.91,0.001,250.0,1",
+        "_2pow-2_,vamana-tree_10_2,0.50,0.001,9999.0,1",  # below threshold
+        "_2pow-3_,vamana-tree_40_2,0.95,0.001,800.0,1",   # no baseline row
+    ]
+    (tmp_path / "sift-128-euclidean_run.csv").write_text("\n".join(rows))
+
+    s = speedup_of_our_best_method("sift-128-euclidean", "2pow-2", 0.9,
+                                   results_dir=str(tmp_path))
+    assert s == 3000.0 / 500.0
+    assert math.isnan(speedup_of_our_best_method(
+        "sift-128-euclidean", "2pow-3", 0.9, results_dir=str(tmp_path)))
+    # threshold excludes the 9999-qps row (recall 0.50)
+    s99 = speedup_of_our_best_method("sift-128-euclidean", "2pow-2", 0.98,
+                                     results_dir=str(tmp_path))
+    assert math.isnan(s99)  # baselines all below 0.98
+
+    out = _latex_table(["Dataset", "$2^{-2}$"], [["sift", 6.0]])
+    assert r"\toprule" in out and "6.00" in out and r"\end{tabular}" in out
+
+    main(datasets=["sift-128-euclidean"], results_dir=str(tmp_path))
+    printed = capsys.readouterr().out
+    assert "6.00" in printed and "NaN" in printed
