@@ -40,9 +40,8 @@ def plot(results_file: str, out: str | None = None):
     for fam, pts in sorted(by_family.items()):
         recalls = np.array([p[0] for p in pts])
         qps = np.array([p[1] for p in pts])
-        keep = pareto_front(recalls, qps)
-        order = np.argsort(recalls[keep])
-        ax.plot(recalls[keep][order], qps[keep][order], "o-", label=fam)
+        px, py = pareto_front(recalls, qps)  # recall-ascending points
+        ax.plot(px, py, "o-", label=fam)
     ax.set_yscale("log")
     ax.set_xlabel("recall@10")
     ax.set_ylabel("QPS")

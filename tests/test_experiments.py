@@ -115,3 +115,21 @@ def test_create_table_speedup(tmp_path, capsys):
     main(datasets=["sift-128-euclidean"], results_dir=str(tmp_path))
     printed = capsys.readouterr().out
     assert "6.00" in printed and "NaN" in printed
+
+
+def test_plot_adversarial_smoke(tmp_path):
+    """plot_adversarial renders a Pareto panel from the adversarial CSV
+    schema (caught live: it indexed pareto_front's returned POINTS as a
+    mask and crashed on any real CSV)."""
+    csv_p = tmp_path / "adversarial_1m.csv"
+    csv_p.write_text(
+        "filter_width,method,recall,average_time,qps,threads\n"
+        "cluster-1,prefiltering,1.0,0.001,1000.0,1\n"
+        "cluster-1,postfiltering_40_2,0.55,0.0005,2000.0,1\n"
+        "cluster-1,postfiltering_160_2,0.85,0.002,500.0,1\n"
+        "cluster-1,vamana-tree_40_2,0.99,0.001,900.0,1\n")
+    from rangefilteredann_tpu.experiments.plot_adversarial import plot
+
+    out = tmp_path / "adv.png"
+    plot(str(csv_p), out=str(out))
+    assert out.stat().st_size > 1000
