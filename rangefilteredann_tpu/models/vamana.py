@@ -538,6 +538,15 @@ def build_vamana_graph(
             )
         if verbose:
             print(f"  vamana step {t + 1}/{n_steps}: inserted {len(inserts_all)}")
+        if checkpoint_path and t + 1 < n_steps:
+            # Pin the host clock to DEVICE progress before testing the
+            # interval: async dispatch otherwise lets the host race through
+            # the whole loop in seconds (steps queue under backpressure) and
+            # the wall-time condition below never fires — observed on the 1M
+            # R=64/L=500 build, which ran ~2 h with zero checkpoints. One
+            # tiny-array sync per step boundary (~30 ms over the tunnel,
+            # ~20-40 boundaries per build) is noise next to a step's minutes.
+            degrees_dev.block_until_ready()
         if (checkpoint_path and t + 1 < n_steps
                 and _time.time() - last_ckpt >= ckpt_secs):
             # np.asarray blocks on the in-flight steps (breaks the device
